@@ -1,0 +1,208 @@
+"""Spatial joins: broadcast PIP (salted), assignment build, kNN nearest-zone.
+
+The reference's only join is containment via pre-rasterized per-country masks
+(prepare_feature_masks.py:9-63 build; extract_country_data.py:231-245 probe).
+Here it is a true broadcast point-in-polygon join (north_rule): the polygon
+dim — rings + bbox-bucket index (geometry.BoundaryIndex) — is broadcast to all
+executors, and an Arrow-batched mapInPandas kernel evaluates the vectorized
+crossing-number test per batch. No shuffle happens in the join itself; the
+downstream aggregation shuffle is salted explicitly (hot countries/cells).
+
+Two probe shapes:
+  * assign_points: arbitrary (lat, lon) rows → many-to-many feature matches,
+    with optional kNN nearest-zone fallback for points inside no polygon
+    (cell-ring candidate expansion, then exact min boundary distance).
+  * build_assignment: enumerate every grid cell inside each feature's bbox
+    (driver emits only tiny per-feature bbox ranges; executors explode them
+    with sequence()), PIP-filter the (cell, feature) pairs. This is the
+    distributed equivalent of the reference's whole mask build
+    (prepare_feature_masks.py:66-91) as one Spark job, and its output —
+    assignment(cell_id, y, x, feature_id, country) — is the moral equivalent
+    of the masks/ directory: a reusable CTAS index for all zonal pipelines.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession, functions as F, types as T
+
+from .geometry import BoundaryIndex
+from .grid import GridSpec, km2_col, cell_id_col
+
+
+def broadcast_index(spark: SparkSession, index: BoundaryIndex):
+    return spark.sparkContext.broadcast(index)
+
+
+# ---------------------------------------------------------------- assignment
+
+def build_assignment(spark: SparkSession, grid: GridSpec,
+                     index: BoundaryIndex) -> DataFrame:
+    """cell→country containment table over `grid` (many-to-many; overlapping
+    features both keep the cell — the double-counting semantics of per-country
+    masks, SURVEY §7).
+
+    Plan shape: tiny driver-side dim of per-feature bbox row-ranges →
+    explode(sequence) twice (row, col) → repartition for even work →
+    mapInPandas PIP filter. No driver loops over cells; scales with
+    Σ bbox areas, not features × grid.
+    """
+    rows = []
+    for pos, poly in enumerate(index.polygons):
+        lat_min, lat_max, lon_min, lon_max = poly.bbox
+        y0, x0 = grid.lonlat_to_yx(lon_min, lat_max)
+        y1, x1 = grid.lonlat_to_yx(lon_max, lat_min)
+        rows.append((pos, poly.feature_id, poly.country,
+                     int(y0), int(y1), int(x0), int(x1)))
+    dim = spark.createDataFrame(
+        rows, "poly_pos INT, feature_id INT, country STRING, "
+              "y0 INT, y1 INT, x0 INT, x1 INT")
+
+    cand = (dim
+            .withColumn("y", F.explode(F.sequence("y0", "y1")))
+            .repartition(int(spark.conf.get("spark.sql.shuffle.partitions")),
+                         "poly_pos", "y")
+            .withColumn("x", F.explode(F.sequence("x0", "x1")))
+            .select("poly_pos", "feature_id", "country", "y", "x")
+            .withColumn("lat", F.lit(grid.lat_max)
+                        - (F.col("y") + F.lit(0.5)) * F.lit(grid.px_deg))
+            .withColumn("lon", F.lit(grid.lon_min)
+                        + (F.col("x") + F.lit(0.5)) * F.lit(grid.px_deg)))
+
+    bidx = broadcast_index(spark, index)
+    schema = T.StructType([
+        T.StructField("cell_id", T.LongType()),
+        T.StructField("y", T.IntegerType()),
+        T.StructField("x", T.IntegerType()),
+        T.StructField("feature_id", T.IntegerType()),
+        T.StructField("country", T.StringType()),
+    ])
+    gid = grid.grid_id
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        idx: BoundaryIndex = bidx.value
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            lon = pdf["lon"].to_numpy()
+            lat = pdf["lat"].to_numpy()
+            keep = np.zeros(len(pdf), dtype=bool)
+            for pos in np.unique(pdf["poly_pos"].to_numpy()):
+                sel = pdf["poly_pos"].to_numpy() == pos
+                keep[sel] = idx.polygons[int(pos)].contains(lon[sel], lat[sel])
+            out = pdf.loc[keep]
+            y = out["y"].to_numpy(dtype=np.int64)
+            x = out["x"].to_numpy(dtype=np.int64)
+            yield pd.DataFrame({
+                "cell_id": (np.int64(gid) << 56) | (y << 28) | x,
+                "y": out["y"].astype("int32"),
+                "x": out["x"].astype("int32"),
+                "feature_id": out["feature_id"].astype("int32"),
+                "country": out["country"],
+            })
+
+    return cand.mapInPandas(kernel, schema)
+
+
+# ------------------------------------------------------------- point assign
+
+POINT_ASSIGN_FIELDS = [
+    T.StructField("feature_id", T.IntegerType()),
+    T.StructField("country", T.StringType()),
+    T.StructField("method", T.StringType()),
+]
+
+
+def assign_points(points: DataFrame, index, lat_col: str = "lat",
+                  lon_col: str = "lon", knn_fallback: bool = True,
+                  many_to_many: bool = True) -> DataFrame:
+    """Broadcast PIP join of arbitrary points; optional kNN nearest-zone
+    fallback for points inside no polygon (SURVEY §2.9 #4).
+
+    `index` is a BoundaryIndex or an existing Broadcast of one. Output keeps
+    every input column and appends (feature_id, country, method) where method
+    ∈ {'pip','knn'}; many-to-many preserves overlapping claims.
+    """
+    spark = points.sparkSession
+    bidx = index if hasattr(index, "value") else broadcast_index(spark, index)
+
+    schema = T.StructType(list(points.schema.fields) + POINT_ASSIGN_FIELDS)
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        idx: BoundaryIndex = bidx.value
+        fids = idx.feature_ids().astype(np.int32)
+        countries = idx.countries()
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            lon = pdf[lon_col].to_numpy(dtype=np.float64)
+            lat = pdf[lat_col].to_numpy(dtype=np.float64)
+            pt, pp = idx.pip(lon, lat, many_to_many=many_to_many)
+            matched = pdf.iloc[pt].reset_index(drop=True)
+            matched["feature_id"] = fids[pp]
+            matched["country"] = countries[pp]
+            matched["method"] = "pip"
+            outs = [matched]
+            if knn_fallback:
+                un = np.ones(len(pdf), dtype=bool)
+                if len(pt):
+                    un[np.unique(pt)] = False
+                if un.any():
+                    up = pdf.loc[un].reset_index(drop=True)
+                    pos, _d = idx.nearest(lon[un], lat[un])
+                    up["feature_id"] = fids[pos]
+                    up["country"] = countries[pos]
+                    up["method"] = "knn"
+                    outs.append(up)
+            yield pd.concat(outs, ignore_index=True)
+
+    return points.mapInPandas(kernel, schema)
+
+
+# ------------------------------------------------------------------ salting
+
+def salted_sum(df: DataFrame, keys: list[str], sums: dict[str, str],
+               buckets: int = 16) -> DataFrame:
+    """Two-stage grouped sum with explicit salting (north_rule: 'skew salting
+    on hot cells'): partial aggregate on (keys, salt) spreads a hot key over
+    `buckets` reducers, final aggregate merges the partials.
+
+    sums: {output_alias: input_expr_sql}.
+    """
+    salt = F.pmod(F.xxhash64(*[F.col(k) for k in keys], F.spark_partition_id()),
+                  F.lit(buckets)).alias("_salt")
+    partial = (df.withColumn("_salt", salt)
+               .groupBy(*keys, "_salt")
+               .agg(*[F.sum(F.expr(expr)).alias(alias) for alias, expr in sums.items()]))
+    return (partial.groupBy(*keys)
+            .agg(*[F.sum(alias).alias(alias) for alias in sums]))
+
+
+def align_fine_to_coarse(df: DataFrame, y_col: str = "y", x_col: str = "x",
+                         factor: int = 3) -> DataFrame:
+    """×k resolution-align join key (P14): adds (yc, xc) = (y//k, x//k) —
+    the integer-arithmetic form of the reference's np.repeat upsample
+    (process_imagery.py:255-267)."""
+    return (df.withColumn("yc", F.floor(F.col(y_col) / factor).cast("int"))
+            .withColumn("xc", F.floor(F.col(x_col) / factor).cast("int")))
+
+
+def explode_coarse_to_fine(asg: DataFrame, coarse: GridSpec,
+                           fine: GridSpec) -> DataFrame:
+    """Coarse assignment → fine-pixel universe: each coarse cell becomes its
+    9 fine pixels carrying km²/9 (process_imagery.py:252-255). Narrow op
+    (explode), no shuffle."""
+    return (asg
+            .withColumn("km2", km2_col(coarse, F.col("y")) / F.lit(9.0))
+            .withColumn("dy", F.explode(F.sequence(F.lit(0), F.lit(2))))
+            .withColumn("dx", F.explode(F.sequence(F.lit(0), F.lit(2))))
+            .select(
+                "feature_id", "country", "km2",
+                F.col("y").alias("yc"), F.col("x").alias("xc"),
+                (F.col("y") * 3 + F.col("dy")).cast("int").alias("yf"),
+                (F.col("x") * 3 + F.col("dx")).cast("int").alias("xf"))
+            .withColumn("fine_cell_id",
+                        cell_id_col(fine.grid_id, F.col("yf"), F.col("xf"))))

@@ -1,0 +1,119 @@
+"""Pipeline wiring: fixture dir → DataFrame results for every reference query.
+
+One `World` per (spark, fx_dir): loads the cell tables, builds the broadcast
+boundary index and the cell→country assignment tables (the engine's analog of
+the reference's masks/ directory — computed once, reused by every zonal
+pipeline, like prepare_feature_masks.py's offline build feeding every
+process_map run).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from . import sources, zonal, tiles as tilesmod, regions as regionsmod
+from .fixtures import generate as genmod
+from .joins import build_assignment, broadcast_index
+from .geometry import BoundaryIndex
+
+
+class World:
+    def __init__(self, spark: SparkSession, fx_dir: str | None = None,
+                 cache_assignment: bool = True):
+        self.spark = spark
+        self.fx_dir = fx_dir or genmod.ensure_fixtures()
+        self.coarse, self.fine = genmod.load_grids(self.fx_dir)
+        self.boundaries = sources.read_boundaries(spark, self.fx_dir)
+        self.index = sources.boundary_index(self.boundaries)
+        self.bidx = broadcast_index(spark, self.index)
+        self.countries = sources.countries_dim(spark, self.boundaries).cache()
+        self.regions_dim = sources.regions_dim(spark, self.boundaries)
+        self._asg: DataFrame | None = None
+        self._asg_fine: DataFrame | None = None
+        self._cache = cache_assignment
+
+    def cells(self, name: str) -> DataFrame:
+        return sources.read_cells(self.spark, self.fx_dir, name)
+
+    @property
+    def asg(self) -> DataFrame:
+        """Coarse cell→country assignment (1km-mask analog)."""
+        if self._asg is None:
+            self._asg = build_assignment(self.spark, self.coarse, self.index)
+            if self._cache:
+                self._asg = self._asg.cache()
+        return self._asg
+
+    @property
+    def asg_fine(self) -> DataFrame:
+        """Fine cell→country assignment (333m-mask analog, used by the LC
+        zonal which runs at 300m — extract_country_data.py:98)."""
+        if self._asg_fine is None:
+            self._asg_fine = build_assignment(self.spark, self.fine, self.index)
+            if self._cache:
+                self._asg_fine = self._asg_fine.cache()
+        return self._asg_fine
+
+    # ---- reference queries ----
+
+    def zonal(self, dataset: str) -> DataFrame:
+        """Long-format zonal histogram for one dataset (process_map analogs)."""
+        if dataset == "kg":
+            return zonal.zonal_kg(self.asg, self.cells("cells_kg"),
+                                  self.coarse, self.countries)
+        if dataset == "lc":
+            return zonal.zonal_lc(self.asg_fine, self.cells("cells_lc"),
+                                  self.fine, self.countries)
+        if dataset == "sl":
+            return zonal.zonal_slope(self.asg, self.cells("cells_slope"),
+                                     self.coarse, self.countries)
+        if dataset == "slfao":
+            return zonal.zonal_slope_fao(
+                self.asg, sources.read_slope_fao(self.spark, self.fx_dir),
+                self.coarse, self.countries)
+        if dataset == "wk":
+            return zonal.zonal_wk(self.asg, self.cells("cells_wk"),
+                                  self.coarse, self.countries)
+        if dataset == "dg":
+            return zonal.zonal_dg(self.asg, self.cells("cells_lpd"),
+                                  self.coarse, self.countries)
+        raise KeyError(dataset)
+
+    def zonal_classes(self, dataset: str) -> list[str]:
+        from . import decoders as D
+        return {
+            "kg": D.KG_CLASSES,
+            "lc": [str(c) for c in D.LCCS37],
+            "sl": D.GAEZ_SLOPES,
+            "slfao": D.FAO_SLOPES,
+            "wk": [str(i) for i in range(1, 8)],
+            "dg": ["degraded", "nondegraded"],
+        }[dataset]
+
+    def aez(self) -> DataFrame:
+        return zonal.aez_long(self.asg, self.cells("cells_kg"),
+                              self.cells("cells_slope"), self.cells("cells_wk"),
+                              self.cells("cells_lc"), self.coarse, self.fine,
+                              self.countries)
+
+    def degraded56(self) -> DataFrame:
+        return zonal.degraded56_long(self.asg, self.cells("cells_lc"),
+                                     self.cells("cells_lpd"), self.cells("cells_wk"),
+                                     self.coarse, self.fine, self.countries)
+
+    def region_rollup(self, long_df: DataFrame, classes: list[str]) -> DataFrame:
+        return regionsmod.rollup(long_df, self.regions_dim, classes)
+
+    def tiles(self) -> DataFrame:
+        return tilesmod.tile_codes(
+            self.spark, self.cells("cells_kg"), self.cells("cells_slope"),
+            self.cells("cells_wk"), self.cells("cells_lc"),
+            self.coarse, self.fine)
+
+    def documents(self) -> DataFrame:
+        return self.spark.read.parquet(os.path.join(self.fx_dir, "documents.parquet"))
+
+    def expected(self, name: str) -> DataFrame:
+        return self.spark.read.parquet(os.path.join(self.fx_dir, f"expected_{name}.parquet"))

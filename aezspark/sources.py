@@ -1,0 +1,86 @@
+"""Table sources: fixture-world parquet scans + the boundaries dim.
+
+The raster "fact tables" are long cell tables in parquet (SURVEY §1.1 S1):
+Catalyst gives block-aligned scans, column pruning, and min/max row-group
+skipping for free — the Spark equivalents of the reference's GetBlockSize
+iteration (extract_country_data.py:236), band-selective reads (:128-129) and
+sparse-block skipping (geoutil.py:28-32).
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+from pyspark.sql import DataFrame, SparkSession
+
+from .geometry import BoundaryIndex, Polygon
+
+
+def read_cells(spark: SparkSession, fx_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(os.path.join(fx_dir, f"{name}.parquet"))
+
+
+def read_slope_fao(spark: SparkSession, fx_dir: str) -> DataFrame:
+    """Multi-file lockstep scan (S6): the FAO slope dataset ships as 8
+    single-band files (extract_country_data.py:147-158); union them into one
+    table with a band column."""
+    from pyspark.sql import functions as F
+
+    dfs = []
+    for b in range(1, 9):
+        df = read_cells(spark, fx_dir, f"cells_slope_fao_b{b}")
+        dfs.append(df.withColumn("band", F.lit(b)))
+    out = dfs[0]
+    for df in dfs[1:]:
+        out = out.unionByName(df)
+    return out
+
+
+def read_boundaries(spark: SparkSession, fx_dir: str) -> DataFrame:
+    return spark.read.parquet(os.path.join(fx_dir, "boundaries.parquet"))
+
+
+def boundaries_to_polygons(boundaries_df: DataFrame) -> list[Polygon]:
+    """Collect the (small, broadcastable-by-design) boundary dim to driver
+    Polygon objects, applying admin-name normalization semantics: rows whose
+    country is null are dropped (extract_country_data.py:223-224)."""
+    rows = boundaries_df.select("feature_id", "country", "ring_lats", "ring_lons",
+                                "hole_lats", "hole_lons").collect()
+    polys = []
+    for r in sorted(rows, key=lambda r: r.feature_id):
+        if r.country is None:
+            continue
+        polys.append(Polygon(
+            feature_id=int(r.feature_id),
+            country=r.country,
+            ring_lons=np.array(r.ring_lons, dtype=np.float64),
+            ring_lats=np.array(r.ring_lats, dtype=np.float64),
+            hole_lons=[np.array(h, dtype=np.float64) for h in (r.hole_lons or [])],
+            hole_lats=[np.array(h, dtype=np.float64) for h in (r.hole_lats or [])],
+        ))
+    return polys
+
+
+def boundary_index(boundaries_df: DataFrame) -> BoundaryIndex:
+    return BoundaryIndex(boundaries_to_polygons(boundaries_df))
+
+
+def countries_dim(spark: SparkSession, boundaries_df: DataFrame) -> DataFrame:
+    """Distinct post-normalization countries (the pre-seeded all-zero rows of
+    the reference accumulator, extract_country_data.py:227-228)."""
+    from pyspark.sql import functions as F
+
+    return (boundaries_df.filter(F.col("country").isNotNull())
+            .select("country").distinct())
+
+
+def regions_dim(spark: SparkSession, boundaries_df: DataFrame) -> DataFrame:
+    """country → region exploded dim (list-valued membership,
+    admin_names.py:81-408)."""
+    from pyspark.sql import functions as F
+
+    return (boundaries_df
+            .filter(F.col("country").isNotNull() & F.col("regions").isNotNull())
+            .select("country", "regions").distinct()
+            .select("country", F.explode("regions").alias("region")))

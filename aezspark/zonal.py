@@ -1,0 +1,228 @@
+"""Zonal histograms + AEZ allocation algebra (A1-A7) as Spark aggregations.
+
+The reference's accumulator (`df.loc[admin, col] += block_sum`, country-at-a-
+time over mask blocks, extract_country_data.py:59-71 etc.) becomes one grouped
+sum over the assignment⋈cells join — the big algorithmic win of the Spark
+design (SURVEY §4): one pass over the data instead of O(countries × raster),
+with partial (map-side) aggregation and an explicitly salted shuffle.
+
+All functions return LONG format (country, class, km2); pivoting to the
+reference's wide CSV layout happens in io.py at the sink.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from . import decoders as D
+from .grid import GridSpec, km2_col, cell_id_col
+from .joins import salted_sum
+
+AEZ_CLASSES = [f"{t}|AEZ{n}" for t in D.TMR_ORDER for n in range(1, 30)]
+DEG56_CLASSES = [f"{c}:{s}:{d}" for c in ['forest', 'cropland', 'grassland', 'bare',
+                                          'urban', 'water', 'ice']
+                 for d in ['degraded', 'nondegraded']
+                 for s in ['good', 'marginal', 'poor', 'verypoor']]
+
+
+def seed_zeros(agg: DataFrame, countries: DataFrame, classes: list[str]) -> DataFrame:
+    """Pre-seed every (country, class) combination with 0.0 — the reference
+    inserts an all-zero row per country on first sight and keeps every class
+    column (extract_country_data.py:216,227-228), so zero cells must exist."""
+    spark = agg.sparkSession
+    cls = spark.createDataFrame([(c,) for c in classes], "class STRING")
+    grid_dim = countries.crossJoin(cls)
+    return (grid_dim.join(agg, ["country", "class"], "left")
+            .select("country", "class",
+                    F.coalesce(F.col("km2"), F.lit(0.0)).alias("km2")))
+
+
+def _finish(df: DataFrame, countries: DataFrame, classes: list[str],
+            salt_buckets: int = 16) -> DataFrame:
+    agg = salted_sum(df, ["country", "class"], {"km2": "km2w"},
+                     buckets=salt_buckets)
+    return seed_zeros(agg, countries, classes)
+
+
+def zonal_kg(asg: DataFrame, cells_kg: DataFrame, coarse: GridSpec,
+             countries: DataFrame) -> DataFrame:
+    """Köppen-Geiger zonal histogram (KGlookup.km2,
+    extract_country_data.py:59-71)."""
+    df = (asg.join(cells_kg.select("cell_id", "kg_class"), "cell_id")
+          .withColumn("class", D.kg_class_name(F.col("kg_class")))
+          .filter(F.col("class").isNotNull())
+          .withColumn("km2w", km2_col(coarse, F.col("y"))))
+    return _finish(df, countries, D.KG_CLASSES)
+
+
+def zonal_lc(asg_fine: DataFrame, cells_lc: DataFrame, fine: GridSpec,
+             countries: DataFrame) -> DataFrame:
+    """Land-cover zonal histogram on the fine grid (ESA_LC_lookup runs on the
+    333m masks, extract_country_data.py:98-109)."""
+    df = (asg_fine.join(cells_lc.select("cell_id", "lccs"), "cell_id")
+          .filter(D.lccs_valid(F.col("lccs")))
+          .withColumn("class", F.col("lccs").cast("string"))
+          .withColumn("km2w", km2_col(fine, F.col("y"))))
+    return _finish(df, countries, [str(c) for c in D.LCCS37])
+
+
+def zonal_slope(asg: DataFrame, cells_slope: DataFrame, coarse: GridSpec,
+                countries: DataFrame) -> DataFrame:
+    """Geomorpho90m slope: 8 fraction bands, per-band NoData 127
+    (GeomorphoLookup.km2, extract_country_data.py:127-133). The 8-band wide
+    row is melted band→rows with a single explode."""
+    bands = F.array(*[
+        F.struct(F.lit(D.GAEZ_SLOPES[b - 1]).alias("class"),
+                 F.col(f"c{b}").cast("double").alias("pct"))
+        for b in range(1, 9)])
+    df = (asg.join(cells_slope.select("cell_id", *[f"c{b}" for b in range(1, 9)]),
+                   "cell_id")
+          .select("country", "y", F.explode(bands).alias("b"))
+          .select("country", "y", F.col("b.class").alias("class"),
+                  F.col("b.pct").alias("pct"))
+          .filter(F.col("pct") != 127)
+          .withColumn("km2w", km2_col(coarse, F.col("y")) * F.col("pct") / F.lit(100.0)))
+    return _finish(df, countries, D.GAEZ_SLOPES)
+
+
+def zonal_slope_fao(asg: DataFrame, slope_fao: DataFrame, coarse: GridSpec,
+                    countries: DataFrame) -> DataFrame:
+    """FAO slope variant: 8 separate files unioned with a band column,
+    NoData 255 (FaoSlopeLookup.km2, extract_country_data.py:152-158)."""
+    fao_arr = F.array(*[F.lit(s) for s in D.FAO_SLOPES])
+    df = (asg.join(slope_fao.select("cell_id", "band", "pct"), "cell_id")
+          .filter(F.col("pct") != 255)
+          .withColumn("class", F.element_at(fao_arr, F.col("band")))
+          .withColumn("km2w", km2_col(coarse, F.col("y"))
+                      * F.col("pct").cast("double") / F.lit(100.0)))
+    return _finish(df, countries, D.FAO_SLOPES)
+
+
+def zonal_wk(asg: DataFrame, cells_wk: DataFrame, coarse: GridSpec,
+             countries: DataFrame) -> DataFrame:
+    """Workability zonal histogram: classes 1..7 kept as-is, 0/255 skipped
+    (WorkabilityLookup.km2, extract_country_data.py:173-183)."""
+    df = (asg.join(cells_wk.select("cell_id", "wk_class"), "cell_id")
+          .filter(F.col("wk_class").isin(list(range(1, 8))))
+          .withColumn("class", F.col("wk_class").cast("string"))
+          .withColumn("km2w", km2_col(coarse, F.col("y"))))
+    return _finish(df, countries, [str(i) for i in range(1, 8)])
+
+
+def zonal_dg(asg: DataFrame, cells_lpd: DataFrame, coarse: GridSpec,
+             countries: DataFrame) -> DataFrame:
+    """Binary degraded-land histogram (DegradedLandLookup.km2,
+    extract_country_data.py:193-202). The universe is the whole mask, so this
+    LEFT-joins from the assignment: absent LPD rows read as raster fill 0 →
+    nondegraded."""
+    df = (asg.join(cells_lpd.select("cell_id", "lpd"), "cell_id", "left")
+          .withColumn("class", D.degradation(F.col("lpd")))
+          .withColumn("km2w", km2_col(coarse, F.col("y"))))
+    return _finish(df, countries, ["degraded", "nondegraded"])
+
+
+# ---------------------------------------------------------------- AEZ (A7)
+
+def _aez_weight_exprs(lu, soil, slope: dict):
+    """The 29 AEZ weight expressions (yield_AEZs, process_imagery.py:137-198):
+    good+prime merged on moderate/steep AEZs; AEZ29 = bare∪ice∪urban plus
+    barren-soil not already counted as bare (the in-place barren[bare]=0)."""
+    def ind(cond):
+        return F.when(cond, F.lit(1.0)).otherwise(F.lit(0.0))
+
+    ws = []
+    for use in ('forest', 'grassland', 'cropland_irrigated', 'cropland_rainfed'):
+        u = lu == use
+        ws.append(ind(u & (soil == 'prime')) * slope['minimal'])
+        ws.append(ind(u & (soil == 'good')) * slope['minimal'])
+        ws.append(ind(u & soil.isin('good', 'prime')) * slope['moderate'])
+        ws.append(ind(u & soil.isin('good', 'prime')) * slope['steep'])
+        ws.append(ind(u & (soil == 'marginal')) * slope['minimal'])
+        ws.append(ind(u & (soil == 'marginal')) * slope['moderate'])
+        ws.append(ind(u & (soil == 'marginal')) * slope['steep'])
+    bare = lu.isin('bare', 'ice', 'urban')
+    ws.append(ind(bare | ((soil == 'barren') & ~F.coalesce(bare, F.lit(False)))))
+    # reorder: reference yields forest(1-7), grassland(8-14), irrigated(15-21),
+    # rainfed(22-28), AEZ29 — which is exactly the loop order above.
+    return ws
+
+
+def aez_long(asg: DataFrame, cells_kg: DataFrame, cells_slope: DataFrame,
+             cells_wk: DataFrame, cells_lc: DataFrame, coarse: GridSpec,
+             fine: GridSpec, countries: DataFrame) -> DataFrame:
+    """AEZ allocation per country (produce_CSV, process_imagery.py:201-281):
+    multi-raster align join → class algebra → one grouped aggregation.
+
+    Plan: join all coarse attrs on coarse cell_id FIRST (9× cheaper than
+    post-explode), explode each coarse cell to its 9 fine pixels (the ×3
+    np.repeat, /9 area split), join land cover on the fine cell, compute the
+    29 weight expressions, aggregate grouped by (country, tmr) — 29 sums per
+    group, no row explosion — then melt the tiny result to long format.
+    """
+    attrs = (asg
+             .join(cells_kg.select("cell_id", "kg_class"), "cell_id", "left")
+             .join(cells_slope.select("cell_id", *[f"c{b}" for b in range(1, 9)]),
+                   "cell_id", "left")
+             .join(cells_wk.select("cell_id", "wk_class"), "cell_id", "left")
+             .withColumn("tmr", D.tmr(F.col("kg_class")))
+             .filter(F.col("tmr").isNotNull())  # invalid regime contributes 0
+             .withColumn("km2", km2_col(coarse, F.col("y")) / F.lit(9.0)))
+
+    fine9 = (attrs
+             .withColumn("dy", F.explode(F.sequence(F.lit(0), F.lit(2))))
+             .withColumn("dx", F.explode(F.sequence(F.lit(0), F.lit(2))))
+             .withColumn("fine_cell_id", cell_id_col(
+                 fine.grid_id,
+                 (F.col("y") * 3 + F.col("dy")),
+                 (F.col("x") * 3 + F.col("dx")))))
+
+    joined = fine9.join(
+        cells_lc.select(F.col("cell_id").alias("fine_cell_id"), "lccs"),
+        "fine_cell_id", "left")
+
+    lu = D.land_use(F.col("lccs"))
+    soil = D.soil_health(F.col("wk_class"))
+    slope = D.slope_fractions({b: F.col(f"c{b}") for b in range(1, 9)})
+    ws = _aez_weight_exprs(lu, soil, slope)
+
+    agg = (joined.groupBy("country", "tmr")
+           .agg(*[F.sum(w * F.col("km2")).alias(f"a{n}")
+                  for n, w in enumerate(ws, 1)]))
+
+    stack_expr = "stack(29, " + ", ".join(
+        f"'{n}', a{n}" for n in range(1, 30)) + ") as (aez_n, km2)"
+    melted = (agg.select("country", "tmr", F.expr(stack_expr))
+              .withColumn("class", F.concat(F.col("tmr"), F.lit("|AEZ"),
+                                            F.col("aez_n")))
+              .groupBy("country", "class").agg(F.sum("km2").alias("km2")))
+    return seed_zeros(melted, countries, AEZ_CLASSES)
+
+
+def degraded56_long(asg: DataFrame, cells_lc: DataFrame, cells_lpd: DataFrame,
+                    cells_wk: DataFrame, coarse: GridSpec, fine: GridSpec,
+                    countries: DataFrame) -> DataFrame:
+    """56-way cover × degradation × workability cross-class
+    (degraded_analysis.py:35-166). Single narrow groupBy over the fine
+    universe — the reference's triple loop is just a composite group key."""
+    attrs = (asg
+             .join(cells_lpd.select("cell_id", "lpd"), "cell_id", "left")
+             .join(cells_wk.select("cell_id", "wk_class"), "cell_id", "left")
+             .withColumn("km2", km2_col(coarse, F.col("y")) / F.lit(9.0)))
+    fine9 = (attrs
+             .withColumn("dy", F.explode(F.sequence(F.lit(0), F.lit(2))))
+             .withColumn("dx", F.explode(F.sequence(F.lit(0), F.lit(2))))
+             .withColumn("fine_cell_id", cell_id_col(
+                 fine.grid_id,
+                 (F.col("y") * 3 + F.col("dy")),
+                 (F.col("x") * 3 + F.col("dx")))))
+    joined = fine9.join(
+        cells_lc.select(F.col("cell_id").alias("fine_cell_id"), "lccs"),
+        "fine_cell_id", "left")
+    df = (joined
+          .withColumn("cover", D.cover56(F.col("lccs")))
+          .withColumn("soil", D.workability4(F.col("wk_class")))
+          .withColumn("deg", D.degradation(F.col("lpd")))
+          .filter(F.col("cover").isNotNull() & F.col("soil").isNotNull())
+          .withColumn("class", F.concat_ws(":", "cover", "soil", "deg"))
+          .withColumn("km2w", F.col("km2")))
+    return _finish(df, countries, DEG56_CLASSES)
