@@ -130,6 +130,18 @@ def cell_id_col(grid_id: int, y_col, x_col):
             + F.shiftleft(y_col.cast("long"), Y_SHIFT) + x_col.cast("long"))
 
 
+def lonlat_to_cell_col(grid: GridSpec, lat_col, lon_col):
+    """Spark Column: containing pixel cell_id for lon/lat point columns
+    (clamped to grid bounds) — mirrors GridSpec.lonlat_to_yx."""
+    from pyspark.sql import functions as F
+
+    x = F.floor((lon_col - F.lit(grid.lon_min)) / F.lit(grid.px_deg))
+    y = F.floor((F.lit(grid.lat_max) - lat_col) / F.lit(grid.px_deg))
+    x = F.greatest(F.lit(0), F.least(F.lit(grid.nx - 1), x))
+    y = F.greatest(F.lit(0), F.least(F.lit(grid.ny - 1), y))
+    return cell_id_col(grid.grid_id, y, x)
+
+
 def coarsen_cols(y_col, x_col, factor: int = 3):
     """Spark Columns: fine (y,x) → containing coarse (y,x).
 
