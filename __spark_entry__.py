@@ -1,38 +1,821 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+Three surfaces:
+  entry(spark)    flagship: interleaved docs derived from sf0.001 → span
+                  extraction → cell index → salted broadcast PIP join → kNN
+                  fallback → AEZ tile enrichment → zonal doc counts.
+  queries()       one entry per implemented operator (SURVEY.md §2): relational
+                  core on the driver's TPC-H-ish tables, training-data corpus
+                  ops (dedup / similarity / text analysis / multimodal), and
+                  the spatial engine queries checked against the numpy
+                  reference-oracle's expected_* parquet.
+  oracle_sql()    DuckDB-equivalent SQL per query. Spatial queries' oracles
+                  read the oracle-produced expected parquet (an independent
+                  numpy implementation of the reference semantics — not Spark).
+
+Column names and rounding are aligned on both sides; floats are rounded
+(2 decimals for km², 6 for scores/ratios) so the order-insensitive value-hash
+is stable across engines.
 """
 
 from __future__ import annotations
 
+import os
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, functions as F, Window as W
 
+from aezspark import corpus, documents as docs_mod
+from aezspark.fixtures.generate import ensure_fixtures
+from aezspark.grid import GridSpec, km2_col
+
+FX_DIR = "/root/repo/build/fixtures/test"
+
+_WORLDS: dict[int, object] = {}
+
+
+def _world(spark: SparkSession):
+    from aezspark.pipelines import World
+
+    key = id(spark)
+    if key not in _WORLDS:
+        _WORLDS[key] = World(spark, ensure_fixtures(FX_DIR))
+    return _WORLDS[key]
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+
+
+def _r(col, n=2):
+    return F.round(col, n)
+
+
+# =====================================================================
+# entry
+# =====================================================================
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: spatial-join + tile pipeline over interleaved documents
+    deterministically derived from /root/testdata/sf0.001/documents.parquet
+    (text span + md5-derived geo span per doc), returning docs per
+    (country, aez_code)."""
+    sf_dir = "/root/testdata/sf0.001"
+    flat = _t(spark, sf_dir, "documents")
+    did = F.col("doc_id").cast("string")
+    h = F.md5(did)
+    lat = F.lit(-60.0) + F.lit(120.0) * (F.conv(F.substring(h, 1, 6), 16, 10)
+                                         .cast("double") / F.lit(16777215.0))
+    lon = F.lit(-180.0) + F.lit(360.0) * (F.conv(F.substring(h, 7, 6), 16, 10)
+                                          .cast("double") / F.lit(16777215.0))
+    span_t = F.struct(F.lit("text").alias("kind"), F.col("text").alias("text"),
+                      F.lit("").alias("media_ref"), F.lit(0).alias("offset"))
+    span_g = F.struct(F.lit("geo").alias("kind"),
+                      F.format_string("%.6f,%.6f", lat, lon).alias("text"),
+                      F.lit("").alias("media_ref"), F.lit(1).alias("offset"))
+    interleaved = flat.select(did.alias("doc_id"),
+                              F.array(span_t, span_g).alias("spans"))
+    w = _world(spark)
+    assigned = docs_mod.assign_documents(interleaved, w.bidx)
+    enriched = docs_mod.with_aez(assigned, w.tiles(), w.fine)
+    return (docs_mod.doc_zone_counts(enriched)
+            .orderBy("country", "aez_code"))
 
+
+# =====================================================================
+# relational core (driver tables)
+# =====================================================================
+
+def q_pricing_summary(spark, sf_dir):
+    """A1/A3: grouped sums with predicate pushdown (TPC-H Q1 shape)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (li.filter(F.col("l_shipdate") <= "1998-09-02")
+            .groupBy("l_returnflag", "l_linestatus")
+            .agg(_r(F.sum("l_quantity")).alias("sum_qty"),
+                 _r(F.sum("l_extendedprice")).alias("sum_base_price"),
+                 _r(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))).alias("sum_disc_price"),
+                 F.count("*").alias("count_order")))
+
+
+def q_pivot_priority(spark, sf_dir):
+    """A5: pivot as conditional sums (classes → columns)."""
+    o = _t(spark, sf_dir, "orders")
+    def cs(p):
+        return _r(F.sum(F.when(F.col("o_orderpriority") == p, F.col("o_totalprice"))))
+    return (o.groupBy("o_orderstatus")
+            .agg(cs("1-URGENT").alias("urgent"), cs("2-HIGH").alias("high"),
+                 cs("3-MEDIUM").alias("medium"), cs("4-NOT SPECIFIED").alias("notspec"),
+                 cs("5-LOW").alias("low")))
+
+
+def q_revenue_by_nation(spark, sf_dir):
+    """J2: multi-way equi-join lineitem⋈orders⋈customer⋈nation⋈region."""
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region")
+    return (li.join(o, li.l_orderkey == o.o_orderkey)
+            .join(c, o.o_custkey == c.c_custkey)
+            .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+            .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+            .groupBy("r_name", "n_name")
+            .agg(_r(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))).alias("revenue"),
+                 F.countDistinct("o_orderkey").alias("n_orders")))
+
+
+def q_broadcast_part_join(spark, sf_dir):
+    """J5/P3: broadcast dim join with pushed filter."""
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part").filter(F.col("p_size") < 10)
+    return (li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+            .groupBy("p_brand")
+            .agg(_r(F.sum("l_quantity")).alias("sum_qty"),
+                 F.count("*").alias("n_items")))
+
+
+def q_region_rollup(spark, sf_dir):
+    """J3/A4 analog: dim-explode rollup customer→nation→region."""
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region")
+    return (c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+            .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+            .groupBy("r_name")
+            .agg(F.count("*").alias("n_customers"),
+                 _r(F.sum("c_acctbal")).alias("acctbal")))
+
+
+def q_latest_event_per_user(spark, sf_dir):
+    """W2: last-writer-wins via row_number over desc ordering."""
+    e = _t(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy(F.col("ts").desc(), F.col("event_id").desc())
+    return (e.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select("user_id", F.col("event_id").alias("last_event_id"),
+                    F.col("event_type").alias("last_type"),
+                    _r(F.col("value"), 6).alias("last_value")))
+
+
+def q_plurality_event_type(spark, sf_dir):
+    """W1: plurality vote with deterministic tie precedence."""
+    e = _t(spark, sf_dir, "events")
+    counts = e.groupBy("user_id", "event_type").agg(F.count("*").alias("cnt"))
+    w = W.partitionBy("user_id").orderBy(F.col("cnt").desc(), F.col("event_type").asc())
+    return (counts.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select("user_id", F.col("event_type").alias("top_type"), "cnt"))
+
+
+def q_topk_orders(spark, sf_dir):
+    """O: orderBy+limit → TakeOrdered, no full sort."""
+    o = _t(spark, sf_dir, "orders")
+    return (o.orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey").asc())
+            .limit(20)
+            .select("o_orderkey", _r(F.col("o_totalprice")).alias("totalprice")))
+
+
+def q_filter_scan(spark, sf_dir):
+    """S1/P3: selective scan; filters reach the parquet reader (TPC-H Q6 shape)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (li.filter((F.col("l_shipdate") >= "1996-01-01")
+                      & (F.col("l_shipdate") < "1997-01-01")
+                      & (F.col("l_discount").between(0.02, 0.04)))
+            .agg(_r(F.sum(F.col("l_extendedprice") * F.col("l_discount"))).alias("revenue"),
+                 F.count("*").alias("n")))
+
+
+def q_case_classify(spark, sf_dir):
+    """P5-P7 analog: CASE classification → grouped stats."""
+    p = _t(spark, sf_dir, "part")
+    cls = (F.when(F.col("p_size") < 10, "small")
+           .when(F.col("p_size") < 25, "medium").otherwise("large"))
+    return (p.withColumn("size_class", cls)
+            .groupBy("size_class")
+            .agg(F.count("*").alias("n"),
+                 _r(F.avg("p_retailprice")).alias("avg_price")))
+
+
+def q_anti_join(spark, sf_dir):
+    """P4 analog: anti-join (customers with no orders)."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    return (c.join(o, c.c_custkey == o.o_custkey, "left_anti")
+            .groupBy("c_mktsegment").agg(F.count("*").alias("n_customers")))
+
+
+def q_semi_join(spark, sf_dir):
+    """Semi-join: suppliers that shipped something, counted per nation."""
+    s = _t(spark, sf_dir, "supplier")
+    li = _t(spark, sf_dir, "lineitem")
+    n = _t(spark, sf_dir, "nation")
+    return (s.join(li, s.s_suppkey == li.l_suppkey, "left_semi")
+            .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+            .groupBy("n_name").agg(F.count("*").alias("n_suppliers")))
+
+
+def q_union_scan(spark, sf_dir):
+    """S6: multi-scan union with source tags."""
+    o = _t(spark, sf_dir, "orders")
+    a = o.filter(F.col("o_orderstatus") == "O").select(F.lit("open").alias("src"), "o_totalprice")
+    b = o.filter(F.col("o_orderstatus") == "F").select(F.lit("finished").alias("src"), "o_totalprice")
+    return (a.unionByName(b).groupBy("src")
+            .agg(F.count("*").alias("n"), _r(F.sum("o_totalprice")).alias("total")))
+
+
+def q_distinct_agg(spark, sf_dir):
+    """Distinct aggregate per group."""
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    return (s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+            .groupBy("n_name")
+            .agg(F.countDistinct("s_name").alias("n_distinct"),
+                 F.count("*").alias("n")))
+
+
+def q_string_funcs(spark, sf_dir):
+    """P16: upper/length/concat/replace string projections."""
+    n = _t(spark, sf_dir, "nation")
+    return n.select(
+        "n_nationkey",
+        F.upper("n_name").alias("uname"),
+        F.length("n_name").alias("name_len"),
+        F.concat_ws("|", "n_name", F.col("n_nationkey").cast("string")).alias("label"),
+        F.regexp_replace(F.col("n_name"), "[AEIOU]", "_").alias("devoweled"))
+
+
+def q_km2_math(spark, sf_dir):
+    """P12/P17: the exact WGS84 pixel-area formula (geoutil.py:10-25) as a
+    Column expression, driven by nation keys as pseudo row indices."""
+    n = _t(spark, sf_dir, "nation")
+    g = GridSpec(grid_id=0, px_deg=0.5)
+    y = (F.col("n_nationkey") * 10).cast("int")
+    return n.select("n_nationkey", _r(km2_col(g, y), 6).alias("km2"))
+
+
+def q_running_sum(spark, sf_dir):
+    """Window frame: per-user running total ordered by time."""
+    e = _t(spark, sf_dir, "events").filter(F.col("user_id") < 50)
+    w = (W.partitionBy("user_id").orderBy("ts", "event_id")
+         .rowsBetween(W.unboundedPreceding, 0))
+    return e.select("user_id", "event_id",
+                    _r(F.sum("value").over(w), 6).alias("running"))
+
+
+def q_rollup_counts(spark, sf_dir):
+    """Grouping sets: ROLLUP(status, priority) with ALL markers."""
+    o = _t(spark, sf_dir, "orders")
+    return (o.rollup("o_orderstatus", "o_orderpriority")
+            .agg(F.count("*").alias("n"))
+            .select(F.coalesce("o_orderstatus", F.lit("ALL")).alias("status"),
+                    F.coalesce("o_orderpriority", F.lit("ALL")).alias("priority"),
+                    "n"))
+
+
+def q_json_props(spark, sf_dir):
+    """Scalar JSON extraction from the events props column."""
+    e = _t(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("bigint")
+    return (e.select(k.alias("k"), "value")
+            .groupBy("k").agg(F.count("*").alias("n"),
+                              _r(F.avg("value"), 6).alias("avg_value")))
+
+
+# =====================================================================
+# training-data corpus ops (driver documents/embeddings tables)
+# =====================================================================
+
+def q_dedup_exact(spark, sf_dir):
+    return (corpus.exact_dedup(_t(spark, sf_dir, "documents"))
+            .select("text_hash", "canonical_doc_id", "cluster_size"))
+
+
+def q_minhash_signatures(spark, sf_dir):
+    sh = corpus.char_shingles(_t(spark, sf_dir, "documents"))
+    return corpus.minhash_signatures(sh).select("doc_id", "seed", "sig")
+
+
+def q_lsh_candidate_pairs(spark, sf_dir):
+    sh = corpus.char_shingles(_t(spark, sf_dir, "documents"))
+    return corpus.lsh_candidate_pairs(corpus.lsh_buckets(corpus.minhash_signatures(sh)))
+
+
+def q_ngram_jaccard(spark, sf_dir):
+    sh = corpus.char_shingles(_t(spark, sf_dir, "documents"))
+    pairs = corpus.lsh_candidate_pairs(corpus.lsh_buckets(corpus.minhash_signatures(sh)))
+    return (corpus.jaccard_pairs(sh, pairs)
+            .select("doc_a", "doc_b", _r(F.col("jaccard"), 6).alias("jaccard")))
+
+
+def q_simhash(spark, sf_dir):
+    return corpus.simhash16(_t(spark, sf_dir, "documents"))
+
+
+def q_language_id(spark, sf_dir):
+    return corpus.language_id(_t(spark, sf_dir, "documents"))
+
+
+def q_quality_score(spark, sf_dir):
+    return corpus.quality_score(_t(spark, sf_dir, "documents"))
+
+
+def q_token_counts(spark, sf_dir):
+    return corpus.token_counts(_t(spark, sf_dir, "documents"))
+
+
+def q_fingerprint(spark, sf_dir):
+    return corpus.fingerprint(_t(spark, sf_dir, "documents"))
+
+
+def _query_vec(spark, sf_dir):
+    row = (_t(spark, sf_dir, "embeddings").filter(F.col("vec_id") == 0)
+           .select("embedding").collect()[0])
+    return [float(v) for v in row.embedding]
+
+
+def q_cosine_topk(spark, sf_dir):
+    emb = _t(spark, sf_dir, "embeddings")
+    q = _query_vec(spark, sf_dir)
+    return (corpus.cosine_topk(emb, q, k=10)
+            .select("vec_id", _r(F.col("cosine"), 6).alias("cosine")))
+
+
+def q_ann_buckets(spark, sf_dir):
+    emb = _t(spark, sf_dir, "embeddings")
+    planes = corpus.lsh_planes(64, 8)
+    return corpus.lsh_bucket_ids(emb, planes)
+
+
+def q_ann_topk(spark, sf_dir):
+    emb = _t(spark, sf_dir, "embeddings")
+    q = _query_vec(spark, sf_dir)
+    planes = corpus.lsh_planes(64, 8)
+    return (corpus.ann_topk(emb, q, planes, k=10)
+            .select("vec_id", _r(F.col("cosine"), 6).alias("cosine")))
+
+
+def q_media_features(spark, sf_dir):
+    """Multimodal plumbing: media spans of the interleaved fixture corpus →
+    Arrow-batched decode stub → scalar feature digests."""
+    w = _world(spark)
+    media = corpus.media_spans(w.documents())
+    feat = corpus.decode_media_stub(media)
+    return feat.select(
+        "doc_id", "span_idx", "modality",
+        _r(F.element_at("features", 1), 6).alias("f0"),
+        _r(F.aggregate("features", F.lit(0.0), lambda a, x: a + x), 6).alias("fsum"))
+
+
+# =====================================================================
+# spatial engine queries (fixture world; oracle = numpy expected_*)
+# =====================================================================
+
+def q_sp_assignment(spark, sf_dir):
+    return _world(spark).asg.select("cell_id", "feature_id", "country")
+
+
+def _zonal(spark, ds):
+    w = _world(spark)
+    return (w.zonal(ds)
+            .select("country", "class", _r(F.col("km2")).alias("km2")))
+
+
+def q_sp_zonal_wk(spark, sf_dir):
+    return _zonal(spark, "wk")
+
+
+def q_sp_zonal_kg(spark, sf_dir):
+    return _zonal(spark, "kg")
+
+
+def q_sp_zonal_lc(spark, sf_dir):
+    return _zonal(spark, "lc")
+
+
+def q_sp_zonal_sl(spark, sf_dir):
+    return _zonal(spark, "sl")
+
+
+def q_sp_zonal_slfao(spark, sf_dir):
+    return _zonal(spark, "slfao")
+
+
+def q_sp_zonal_dg(spark, sf_dir):
+    return _zonal(spark, "dg")
+
+
+def q_sp_aez(spark, sf_dir):
+    w = _world(spark)
+    return w.aez().select("country", "class", _r(F.col("km2")).alias("km2"))
+
+
+def q_sp_region_aez(spark, sf_dir):
+    from aezspark.zonal import AEZ_CLASSES
+
+    w = _world(spark)
+    return (w.region_rollup(w.aez(), AEZ_CLASSES)
+            .select("region", "class", _r(F.col("km2")).alias("km2")))
+
+
+def q_sp_degraded56(spark, sf_dir):
+    w = _world(spark)
+    return w.degraded56().select("country", "class", _r(F.col("km2")).alias("km2"))
+
+
+def q_sp_tiles(spark, sf_dir):
+    return (_world(spark).tiles()
+            .select("cell_id", "aez_code", "slope_code", "lu_code", "soil_code"))
+
+
+def _doc_assignment(spark):
+    w = _world(spark)
+    assigned = docs_mod.assign_documents(w.documents(), w.bidx)
+    return docs_mod.with_aez(assigned, w.tiles(), w.fine)
+
+
+def q_sp_doc_assignment(spark, sf_dir):
+    return _doc_assignment(spark).select(
+        "doc_id", "span_idx", "feature_id", "country", "method", "aez_code")
+
+
+def q_sp_knn_fallback(spark, sf_dir):
+    return (_doc_assignment(spark)
+            .filter(F.col("method") == "knn")
+            .select("doc_id", "span_idx", "feature_id", "country"))
+
+
+def q_sp_doc_zone_counts(spark, sf_dir):
+    return (docs_mod.doc_zone_counts(_doc_assignment(spark))
+            .select("country", "aez_code", "n_docs"))
+
+
+# =====================================================================
+# registry
+# =====================================================================
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    return {
+        # relational core
+        "pricing_summary": q_pricing_summary,
+        "pivot_priority": q_pivot_priority,
+        "revenue_by_nation": q_revenue_by_nation,
+        "broadcast_part_join": q_broadcast_part_join,
+        "region_rollup": q_region_rollup,
+        "latest_event_per_user": q_latest_event_per_user,
+        "plurality_event_type": q_plurality_event_type,
+        "topk_orders": q_topk_orders,
+        "filter_scan": q_filter_scan,
+        "case_classify": q_case_classify,
+        "anti_join": q_anti_join,
+        "semi_join": q_semi_join,
+        "union_scan": q_union_scan,
+        "distinct_agg": q_distinct_agg,
+        "string_funcs": q_string_funcs,
+        "km2_math": q_km2_math,
+        "running_sum": q_running_sum,
+        "rollup_counts": q_rollup_counts,
+        "json_props": q_json_props,
+        # corpus ops
+        "dedup_exact": q_dedup_exact,
+        "minhash_signatures": q_minhash_signatures,
+        "lsh_candidate_pairs": q_lsh_candidate_pairs,
+        "ngram_jaccard": q_ngram_jaccard,
+        "simhash": q_simhash,
+        "language_id": q_language_id,
+        "quality_score": q_quality_score,
+        "token_counts": q_token_counts,
+        "fingerprint": q_fingerprint,
+        "cosine_topk": q_cosine_topk,
+        "ann_buckets": q_ann_buckets,
+        "ann_topk": q_ann_topk,
+        "media_features": q_media_features,
+        # spatial engine
+        "sp_assignment": q_sp_assignment,
+        "sp_zonal_wk": q_sp_zonal_wk,
+        "sp_zonal_kg": q_sp_zonal_kg,
+        "sp_zonal_lc": q_sp_zonal_lc,
+        "sp_zonal_sl": q_sp_zonal_sl,
+        "sp_zonal_slfao": q_sp_zonal_slfao,
+        "sp_zonal_dg": q_sp_zonal_dg,
+        "sp_aez": q_sp_aez,
+        "sp_region_aez": q_sp_region_aez,
+        "sp_degraded56": q_sp_degraded56,
+        "sp_tiles": q_sp_tiles,
+        "sp_doc_assignment": q_sp_doc_assignment,
+        "sp_knn_fallback": q_sp_knn_fallback,
+        "sp_doc_zone_counts": q_sp_doc_zone_counts,
+    }
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+
+# =====================================================================
+# oracle SQL
+# =====================================================================
+
+_SHINGLES_CTE = """
+shingles AS (
+    SELECT DISTINCT doc_id, substr(text, i, 8) AS shingle
+    FROM documents, unnest(generate_series(1, greatest(len(text) - 7, 0))) AS t(i)
+)"""
+
+_SIGS_CTE = _SHINGLES_CTE + """,
+sigs AS (
+    SELECT doc_id, seed, min(md5(seed || ':' || shingle)) AS sig
+    FROM shingles, unnest(generate_series(0, 7)) AS s(seed)
+    GROUP BY doc_id, seed
+)"""
+
+_BUCKETS_CTE = _SIGS_CTE + """,
+buckets AS (
+    SELECT doc_id, CAST(floor(seed / 2) AS INT) AS band,
+           md5(array_to_string(array_agg(seed || ':' || sig ORDER BY seed || ':' || sig), '|')) AS bucket
+    FROM sigs
+    GROUP BY doc_id, CAST(floor(seed / 2) AS INT)
+)"""
+
+_PAIRS_CTE = _BUCKETS_CTE + """,
+pairs AS (
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+    FROM buckets a JOIN buckets b ON a.band = b.band AND a.bucket = b.bucket
+    WHERE a.doc_id < b.doc_id
+)"""
+
+
+def _plane_sql_literal() -> list[str]:
+    planes = corpus.lsh_planes(64, 8)
+    return ["[" + ", ".join(f"{v:.1f}" for v in row) + "]" for row in planes]
+
+
+def _emb_cosine_sql(extra_where: str = "", lead_ctes: str = "") -> str:
+    return f"""
+WITH {lead_ctes}q AS (SELECT list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qv
+           FROM embeddings WHERE vec_id = 0),
+e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ev
+      FROM embeddings {extra_where})
+SELECT vec_id,
+       round(list_dot_product(ev, qv)
+             / (sqrt(list_dot_product(ev, ev)) * sqrt(list_dot_product(qv, qv))), 6) AS cosine
+FROM e, q
+ORDER BY list_dot_product(ev, qv)
+         / (sqrt(list_dot_product(ev, ev)) * sqrt(list_dot_product(qv, qv))) DESC, vec_id
+LIMIT 10"""
+
+
+def _ann_bucket_sql() -> str:
+    planes = _plane_sql_literal()
+    terms = " + ".join(
+        f"(CASE WHEN list_dot_product(ev, {p}) > 0 THEN {1 << i} ELSE 0 END)"
+        for i, p in enumerate(planes))
+    return ("SELECT vec_id, CAST(" + terms + " AS BIGINT) AS bucket FROM "
+            "(SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ev"
+            " FROM embeddings)")
+
+
+_KM2_SQL = """
+SELECT n_nationkey,
+       round(
+         (0.5 * (cos(lat) * pi() * 6378.137
+                 / (180 * sqrt(1 - 0.00669437999014 * pow(sin(lat), 2)))))
+         * (0.5 * (111.132954 - 0.559822 * cos(2 * lat) + 0.001175 * cos(4 * lat))),
+         6) AS km2
+FROM (SELECT n_nationkey,
+             radians(90.0 - (CAST(n_nationkey * 10 AS INT)) * 0.5 - 0.25) AS lat
+      FROM nation)"""
+
+
+def _exp(name: str) -> str:
+    return f"read_parquet('{FX_DIR}/expected_{name}.parquet')"
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    ensure_fixtures(FX_DIR)
+    fx_docs = f"read_parquet('{FX_DIR}/documents.parquet')"
+    return {
+        "pricing_summary": """
+            SELECT l_returnflag, l_linestatus,
+                   round(sum(l_quantity), 2) AS sum_qty,
+                   round(sum(l_extendedprice), 2) AS sum_base_price,
+                   round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+                   CAST(count(*) AS BIGINT) AS count_order
+            FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+            GROUP BY l_returnflag, l_linestatus""",
+        "pivot_priority": """
+            SELECT o_orderstatus,
+                   round(sum(CASE WHEN o_orderpriority = '1-URGENT' THEN o_totalprice END), 2) AS urgent,
+                   round(sum(CASE WHEN o_orderpriority = '2-HIGH' THEN o_totalprice END), 2) AS high,
+                   round(sum(CASE WHEN o_orderpriority = '3-MEDIUM' THEN o_totalprice END), 2) AS medium,
+                   round(sum(CASE WHEN o_orderpriority = '4-NOT SPECIFIED' THEN o_totalprice END), 2) AS notspec,
+                   round(sum(CASE WHEN o_orderpriority = '5-LOW' THEN o_totalprice END), 2) AS low
+            FROM orders GROUP BY o_orderstatus""",
+        "revenue_by_nation": """
+            SELECT r_name, n_name,
+                   round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+                   CAST(count(DISTINCT o_orderkey) AS BIGINT) AS n_orders
+            FROM lineitem
+            JOIN orders ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            JOIN nation ON c_nationkey = n_nationkey
+            JOIN region ON n_regionkey = r_regionkey
+            GROUP BY r_name, n_name""",
+        "broadcast_part_join": """
+            SELECT p_brand, round(sum(l_quantity), 2) AS sum_qty,
+                   CAST(count(*) AS BIGINT) AS n_items
+            FROM lineitem JOIN part ON l_partkey = p_partkey
+            WHERE p_size < 10 GROUP BY p_brand""",
+        "region_rollup": """
+            SELECT r_name, CAST(count(*) AS BIGINT) AS n_customers,
+                   round(sum(c_acctbal), 2) AS acctbal
+            FROM customer JOIN nation ON c_nationkey = n_nationkey
+            JOIN region ON n_regionkey = r_regionkey
+            GROUP BY r_name""",
+        "latest_event_per_user": """
+            SELECT user_id, event_id AS last_event_id, event_type AS last_type,
+                   round(value, 6) AS last_value
+            FROM (SELECT *, row_number() OVER
+                      (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+                  FROM events) WHERE rn = 1""",
+        "plurality_event_type": """
+            SELECT user_id, event_type AS top_type, cnt FROM (
+                SELECT user_id, event_type, CAST(count(*) AS BIGINT) AS cnt,
+                       row_number() OVER (PARTITION BY user_id
+                           ORDER BY count(*) DESC, event_type ASC) AS rn
+                FROM events GROUP BY user_id, event_type) WHERE rn = 1""",
+        "topk_orders": """
+            SELECT o_orderkey, round(o_totalprice, 2) AS totalprice
+            FROM orders ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 20""",
+        "filter_scan": """
+            SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue,
+                   CAST(count(*) AS BIGINT) AS n
+            FROM lineitem
+            WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+              AND l_shipdate < TIMESTAMP '1997-01-01'
+              AND l_discount BETWEEN 0.02 AND 0.04""",
+        "case_classify": """
+            SELECT CASE WHEN p_size < 10 THEN 'small'
+                        WHEN p_size < 25 THEN 'medium' ELSE 'large' END AS size_class,
+                   CAST(count(*) AS BIGINT) AS n,
+                   round(avg(p_retailprice), 2) AS avg_price
+            FROM part GROUP BY 1""",
+        "anti_join": """
+            SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS n_customers
+            FROM customer WHERE NOT EXISTS
+                (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+            GROUP BY c_mktsegment""",
+        "semi_join": """
+            SELECT n_name, CAST(count(*) AS BIGINT) AS n_suppliers
+            FROM supplier JOIN nation ON s_nationkey = n_nationkey
+            WHERE EXISTS (SELECT 1 FROM lineitem WHERE l_suppkey = s_suppkey)
+            GROUP BY n_name""",
+        "union_scan": """
+            SELECT src, CAST(count(*) AS BIGINT) AS n, round(sum(o_totalprice), 2) AS total
+            FROM (SELECT 'open' AS src, o_totalprice FROM orders WHERE o_orderstatus = 'O'
+                  UNION ALL
+                  SELECT 'finished' AS src, o_totalprice FROM orders WHERE o_orderstatus = 'F')
+            GROUP BY src""",
+        "distinct_agg": """
+            SELECT n_name, CAST(count(DISTINCT s_name) AS BIGINT) AS n_distinct,
+                   CAST(count(*) AS BIGINT) AS n
+            FROM supplier JOIN nation ON s_nationkey = n_nationkey
+            GROUP BY n_name""",
+        "string_funcs": """
+            SELECT n_nationkey, upper(n_name) AS uname,
+                   CAST(len(n_name) AS INT) AS name_len,
+                   n_name || '|' || CAST(n_nationkey AS VARCHAR) AS label,
+                   regexp_replace(n_name, '[AEIOU]', '_', 'g') AS devoweled
+            FROM nation""",
+        "km2_math": _KM2_SQL,
+        "running_sum": """
+            SELECT user_id, event_id,
+                   round(sum(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 6) AS running
+            FROM events WHERE user_id < 50""",
+        "rollup_counts": """
+            SELECT coalesce(o_orderstatus, 'ALL') AS status,
+                   coalesce(o_orderpriority, 'ALL') AS priority,
+                   CAST(count(*) AS BIGINT) AS n
+            FROM orders GROUP BY ROLLUP(o_orderstatus, o_orderpriority)""",
+        "json_props": """
+            SELECT CAST(props::JSON->>'k' AS BIGINT) AS k,
+                   CAST(count(*) AS BIGINT) AS n, round(avg(value), 6) AS avg_value
+            FROM events GROUP BY 1""",
+        # corpus
+        "dedup_exact": """
+            SELECT md5(text) AS text_hash, min(doc_id) AS canonical_doc_id,
+                   CAST(count(*) AS BIGINT) AS cluster_size
+            FROM documents GROUP BY md5(text)""",
+        "minhash_signatures": f"WITH {_SIGS_CTE.lstrip()} "
+                              "SELECT doc_id, CAST(seed AS INT) AS seed, sig FROM sigs",
+        "lsh_candidate_pairs": f"WITH {_PAIRS_CTE.lstrip()} "
+                               "SELECT doc_a, doc_b FROM pairs",
+        "ngram_jaccard": f"""WITH {_PAIRS_CTE.lstrip()},
+            sizes AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS sz
+                      FROM shingles GROUP BY doc_id),
+            inter AS (SELECT p.doc_a, p.doc_b, CAST(count(*) AS BIGINT) AS i
+                      FROM pairs p
+                      JOIN shingles a ON a.doc_id = p.doc_a
+                      JOIN shingles b ON b.doc_id = p.doc_b AND b.shingle = a.shingle
+                      GROUP BY p.doc_a, p.doc_b)
+            SELECT i.doc_a, i.doc_b,
+                   round(CAST(i.i AS DOUBLE) / (sa.sz + sb.sz - i.i), 6) AS jaccard
+            FROM inter i
+            JOIN sizes sa ON sa.doc_id = i.doc_a
+            JOIN sizes sb ON sb.doc_id = i.doc_b""",
+        "simhash": """
+            WITH toks AS (
+                SELECT doc_id, md5(tok) AS h
+                FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents)),
+            bits AS (
+                SELECT doc_id, J,
+                       sum(2 * ((instr('0123456789abcdef',
+                                       substr(h, CAST(1 + floor(J / 4) AS INT), 1)) - 1)
+                                >> CAST(3 - J % 4 AS INT) & 1) - 1) AS s
+                FROM toks, unnest(generate_series(0, 15)) AS j(J)
+                GROUP BY doc_id, J)
+            SELECT doc_id,
+                   CAST(sum(CASE WHEN s > 0 THEN CAST(pow(2, J) AS BIGINT) ELSE 0 END) AS BIGINT)
+                       AS simhash
+            FROM bits GROUP BY doc_id""",
+        "language_id": f"""
+            SELECT doc_id,
+                   CAST(len(list_filter(string_split(lower(text), ' '),
+                        t -> list_contains({corpus.EN_STOPWORDS!r}, t))) AS INT) AS en_hits,
+                   CAST(len(list_filter(string_split(lower(text), ' '),
+                        t -> list_contains({corpus.DE_STOPWORDS!r}, t))) AS INT) AS de_hits,
+                   CASE WHEN len(list_filter(string_split(lower(text), ' '),
+                            t -> list_contains({corpus.DE_STOPWORDS!r}, t)))
+                          > len(list_filter(string_split(lower(text), ' '),
+                            t -> list_contains({corpus.EN_STOPWORDS!r}, t)))
+                        THEN 'de' ELSE 'en' END AS pred_lang
+            FROM documents""",
+        "quality_score": f"""
+            SELECT doc_id,
+                   CAST(n_chars AS INT) AS n_chars,
+                   CAST(n_tokens AS INT) AS n_tokens,
+                   round(n_punct / greatest(n_chars, 1), 6) AS punct_ratio,
+                   round(stop_hits / greatest(n_tokens, 1), 6) AS stop_ratio,
+                   round(least(n_tokens / 100.0, 1.0) * 0.5
+                         + (stop_hits / greatest(n_tokens, 1)) * 0.4
+                         - (n_punct / greatest(n_chars, 1)) * 0.1, 6) AS quality
+            FROM (SELECT doc_id,
+                         len(text) AS n_chars,
+                         len(string_split(text, ' ')) AS n_tokens,
+                         len(text) - len(regexp_replace(text, '[.,!?;:]', '', 'g')) AS n_punct,
+                         len(list_filter(string_split(lower(text), ' '),
+                             t -> list_contains({corpus.EN_STOPWORDS!r}, t))) AS stop_hits
+                  FROM documents)""",
+        "token_counts": """
+            SELECT doc_id,
+                   CAST(len(string_split_regex(text, '\\s+')) AS INT) AS ws_tokens,
+                   CAST(len(regexp_extract_all(text, '[A-Za-z0-9]+'))
+                        + len(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g'))
+                        AS INT) AS bpeish_tokens
+            FROM documents""",
+        "fingerprint": f"""WITH {_SHINGLES_CTE.lstrip()}
+            SELECT doc_id,
+                   array_to_string((array_agg(DISTINCT md5(shingle)
+                       ORDER BY md5(shingle)))[1:4], ',') AS fingerprint
+            FROM shingles GROUP BY doc_id""",
+        "cosine_topk": _emb_cosine_sql(),
+        "ann_buckets": _ann_bucket_sql(),
+        "ann_topk": _emb_cosine_sql(
+            extra_where=("WHERE vec_id IN (SELECT b.vec_id FROM bk b, qb "
+                         "WHERE b.bucket = qb.bucket)"),
+            lead_ctes=(f"bk AS ({_ann_bucket_sql()}),\n"
+                       "qb AS (SELECT bucket FROM bk WHERE vec_id = 0),\n")),
+        "media_features": f"""
+            SELECT doc_id, CAST(i - 1 AS INT) AS span_idx,
+                   regexp_extract(s.media_ref, 'media://(\\w+)/(\\d+)', 1) AS modality,
+                   round(CAST((mid * 1) % 97 AS DOUBLE) / 97.0, 6) AS f0,
+                   round((CAST((mid * 1) % 97 AS DOUBLE) + CAST((mid * 2) % 97 AS DOUBLE)
+                        + CAST((mid * 3) % 97 AS DOUBLE) + CAST((mid * 4) % 97 AS DOUBLE)) / 97.0, 6) AS fsum
+            FROM (SELECT doc_id, i, spans[i] AS s,
+                         CAST(regexp_extract(spans[i].media_ref,
+                              'media://(\\w+)/(\\d+)', 2) AS BIGINT) AS mid
+                  FROM {fx_docs},
+                       unnest(generate_series(1, len(spans))) AS t(i))
+            WHERE s.kind = 'media'""",
+        # spatial — oracles are the numpy reference-oracle's outputs
+        "sp_assignment": f"SELECT cell_id, CAST(feature_id AS INT) AS feature_id, country FROM {_exp('assignment')}",
+        "sp_zonal_wk": f"SELECT country, class, km2 FROM {_exp('wk')}",
+        "sp_zonal_kg": f"SELECT country, class, km2 FROM {_exp('kg')}",
+        "sp_zonal_lc": f"SELECT country, class, km2 FROM {_exp('lc')}",
+        "sp_zonal_sl": f"SELECT country, class, km2 FROM {_exp('sl')}",
+        "sp_zonal_slfao": f"SELECT country, class, km2 FROM {_exp('slfao')}",
+        "sp_zonal_dg": f"SELECT country, class, km2 FROM {_exp('dg')}",
+        "sp_aez": f"SELECT country, class, km2 FROM {_exp('aez')}",
+        "sp_region_aez": f"SELECT region, class, km2 FROM {_exp('region_aez')}",
+        "sp_degraded56": f"SELECT country, class, km2 FROM {_exp('deg56')}",
+        "sp_tiles": f"""SELECT cell_id, CAST(aez_code AS INT) AS aez_code,
+                   CAST(slope_code AS INT) AS slope_code, CAST(lu_code AS INT) AS lu_code,
+                   CAST(soil_code AS INT) AS soil_code FROM {_exp('tiles')}""",
+        "sp_doc_assignment": f"""SELECT doc_id, CAST(span_idx AS INT) AS span_idx,
+                   CAST(feature_id AS INT) AS feature_id, country, method,
+                   CAST(aez_code AS INT) AS aez_code FROM {_exp('doc_assignment')}""",
+        "sp_knn_fallback": f"""SELECT doc_id, CAST(span_idx AS INT) AS span_idx,
+                   CAST(feature_id AS INT) AS feature_id, country
+                   FROM {_exp('doc_assignment')} WHERE method = 'knn'""",
+        "sp_doc_zone_counts": f"""
+            SELECT country, CAST(aez_code AS INT) AS aez_code,
+                   CAST(count(*) AS BIGINT) AS n_docs
+            FROM (SELECT DISTINCT country, aez_code, doc_id FROM {_exp('doc_assignment')})
+            GROUP BY country, aez_code""",
+    }

@@ -1,0 +1,298 @@
+"""Training-data pipeline operators over document/embedding corpora.
+
+Beyond the reference's operators, a 100 TB training-data engine needs
+dedup / similarity-search / text-analysis / multimodal primitives. All are
+DataFrame-first: hashing and set algebra stay JVM-side (md5, higher-order
+array functions); only the multimodal decode stub drops to an Arrow-batched
+pandas UDF (and is clearly marked as a deterministic fake — the image/audio
+codecs aren't in this container; the Spark-side plumbing is real).
+
+Determinism/cross-engine rules (the DuckDB oracle must reproduce values):
+  * the only hash primitive is md5-hex — identical in Spark and DuckDB;
+  * "numeric" hashes are hex-string comparisons (min over hex strings), never
+    engine-specific 64-bit hashes;
+  * LSH hyperplanes are generated driver-side (hashlib) and injected as
+    literals into BOTH the Spark plan and the oracle SQL.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+# ---------------------------------------------------------------- dedup
+
+def exact_dedup(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Exact dedup: hash-groupBy on md5(text); keep the smallest doc_id as
+    canonical, report cluster size. Map-side partial agg handles hot hashes."""
+    return (docs
+            .withColumn("text_hash", F.md5(F.col(text_col)))
+            .groupBy("text_hash")
+            .agg(F.min("doc_id").alias("canonical_doc_id"),
+                 F.count("*").alias("cluster_size")))
+
+
+def char_shingles(docs: DataFrame, text_col: str = "text", k: int = 8,
+                  doc_col: str = "doc_id") -> DataFrame:
+    """Character k-gram shingle set per doc (distinct). explode(sequence) —
+    no Python in the loop."""
+    n = F.length(F.col(text_col)) - F.lit(k - 1)
+    # guard: Spark sequence(1, 0) counts DOWN, it is not empty — emit an
+    # empty array for texts shorter than k instead
+    idx = F.when(n >= 1, F.sequence(F.lit(1), n)).otherwise(
+        F.array().cast("array<int>"))
+    return (docs
+            .select(doc_col, text_col)
+            .withColumn("i", F.explode(idx))
+            .select(doc_col,
+                    F.substring(F.col(text_col), F.col("i"), k).alias("shingle"))
+            .distinct())
+
+
+def minhash_signatures(shingles: DataFrame, num_hashes: int = 8,
+                       doc_col: str = "doc_id") -> DataFrame:
+    """MinHash over md5-hex: sig_s(doc) = min(md5(s || ':' || shingle)).
+    Hex-string min is a valid uniform-permutation proxy and is engine-portable.
+    Output: (doc_id, seed, sig)."""
+    return (shingles
+            .withColumn("seed", F.explode(F.array(*[F.lit(i) for i in range(num_hashes)])))
+            .withColumn("h", F.md5(F.concat_ws(":", F.col("seed"), F.col("shingle"))))
+            .groupBy(doc_col, "seed")
+            .agg(F.min("h").alias("sig")))
+
+
+def lsh_buckets(signatures: DataFrame, rows_per_band: int = 2,
+                doc_col: str = "doc_id") -> DataFrame:
+    """Band the signature: bucket = md5(concat of the band's sigs in seed
+    order). Docs sharing any (band, bucket) are near-dup candidates."""
+    return (signatures
+            .withColumn("band", (F.col("seed") / rows_per_band).cast("int"))
+            .groupBy(doc_col, "band")
+            .agg(F.md5(F.concat_ws("|", F.sort_array(
+                F.collect_list(F.concat_ws(":", "seed", "sig"))))).alias("bucket")))
+
+
+def lsh_candidate_pairs(buckets: DataFrame, doc_col: str = "doc_id") -> DataFrame:
+    """Self-join on (band, bucket) → distinct unordered candidate pairs.
+    The bucket join is the scale path: no all-pairs comparison ever happens."""
+    a = buckets.select(F.col(doc_col).alias("doc_a"), "band", "bucket")
+    b = buckets.select(F.col(doc_col).alias("doc_b"), "band", "bucket")
+    return (a.join(b, ["band", "bucket"])
+            .filter(F.col("doc_a") < F.col("doc_b"))
+            .select("doc_a", "doc_b").distinct())
+
+
+def jaccard_pairs(shingles: DataFrame, pairs: DataFrame,
+                  doc_col: str = "doc_id") -> DataFrame:
+    """Exact n-gram Jaccard for candidate pairs via shingle-set join:
+    |A∩B| from a shingle equi-join, |A∪B| = |A|+|B|−|A∩B|."""
+    sizes = shingles.groupBy(doc_col).agg(F.count("*").alias("sz"))
+    a = shingles.select(F.col(doc_col).alias("doc_a"), "shingle")
+    b = shingles.select(F.col(doc_col).alias("doc_b"), "shingle")
+    inter = (pairs.join(a, "doc_a").join(b, ["doc_b", "shingle"])
+             .groupBy("doc_a", "doc_b").agg(F.count("*").alias("inter")))
+    return (inter
+            .join(sizes.select(F.col(doc_col).alias("doc_a"), F.col("sz").alias("sz_a")), "doc_a")
+            .join(sizes.select(F.col(doc_col).alias("doc_b"), F.col("sz").alias("sz_b")), "doc_b")
+            .select("doc_a", "doc_b",
+                    (F.col("inter") / (F.col("sz_a") + F.col("sz_b") - F.col("inter"))
+                     ).alias("jaccard")))
+
+
+def simhash16(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """16-bit SimHash over whitespace tokens: per-token md5 → first 4 hex
+    digits → 16 bits; simhash bit j = sign of Σ_tokens (2·bit_j − 1).
+    Kept to 16 bits so the oracle stays a tractable SQL expression; widening
+    to 64 is the same construction ×4."""
+    tokens = (docs.select("doc_id", F.explode(F.split(F.col(text_col), " ")).alias("tok"))
+              .withColumn("h", F.md5(F.col("tok"))))
+    hexv = "instr('0123456789abcdef', substring(h, CAST(1 + floor(J / 4) AS INT), 1)) - 1"
+    bit = f"shiftright({hexv}, CAST(3 - J % 4 AS INT)) & 1"
+    contrib = (tokens
+               .withColumn("J", F.explode(F.sequence(F.lit(0), F.lit(15))))
+               .withColumn("c", F.expr(f"2 * ({bit}) - 1")))
+    return (contrib.groupBy("doc_id", "J").agg(F.sum("c").alias("s"))
+            .withColumn("b", F.when(F.col("s") > 0, 1).otherwise(0))
+            .groupBy("doc_id")
+            .agg(F.sum(F.expr("CAST(b AS BIGINT) * CAST(pow(2, J) AS BIGINT)"))
+                 .cast("long").alias("simhash")))
+
+
+# ---------------------------------------------------- similarity search
+
+def lsh_planes(dim: int, num_planes: int = 8) -> list[list[float]]:
+    """Deterministic ±1 hyperplanes from md5 parity — generated driver-side,
+    injected as literals into both the Spark plan and the oracle SQL."""
+    planes = []
+    for p in range(num_planes):
+        row = []
+        for d in range(dim):
+            h = hashlib.md5(f"plane:{p}:{d}".encode()).hexdigest()
+            row.append(1.0 if int(h[0], 16) % 2 == 0 else -1.0)
+        planes.append(row)
+    return planes
+
+
+def _dot(vec_col: Column, lit_vec: list[float]) -> Column:
+    arr = F.array(*[F.lit(float(v)) for v in lit_vec])
+    return F.aggregate(
+        F.zip_with(vec_col, arr, lambda a, b: a.cast("double") * b),
+        F.lit(0.0), lambda acc, x: acc + x)
+
+
+def cosine_topk(embeddings: DataFrame, query_vec: list[float], k: int = 10) -> DataFrame:
+    """Brute-force cosine top-k against a literal query vector — the exact
+    baseline. One scan, JVM-side higher-order functions, orderBy+limit
+    (Spark executes it as a TakeOrdered — no full sort)."""
+    dot = _dot(F.col("embedding"), query_vec)
+    norm = F.sqrt(F.aggregate(
+        F.zip_with(F.col("embedding"), F.col("embedding"),
+                   lambda a, b: a.cast("double") * b.cast("double")),
+        F.lit(0.0), lambda acc, x: acc + x))
+    qnorm = float(sum(v * v for v in query_vec)) ** 0.5
+    return (embeddings
+            .select("vec_id", (dot / (norm * F.lit(qnorm))).alias("cosine"))
+            .orderBy(F.col("cosine").desc(), F.col("vec_id"))
+            .limit(k))
+
+
+def lsh_bucket_ids(embeddings: DataFrame, planes: list[list[float]]) -> DataFrame:
+    """ANN scale path: sign-random-projection bucket id per vector. Probing
+    cost is bucket-local; at 100 TB the bucket is the shuffle/partition key."""
+    bucket = F.lit(0).cast("long")
+    for p, plane in enumerate(planes):
+        bucket = bucket + F.when(_dot(F.col("embedding"), plane) > 0,
+                                 F.lit(1 << p)).otherwise(F.lit(0)).cast("long")
+    return embeddings.select("vec_id", bucket.alias("bucket"))
+
+
+def ann_topk(embeddings: DataFrame, query_vec: list[float],
+             planes: list[list[float]], k: int = 10) -> DataFrame:
+    """LSH-bucketed ANN: restrict the exact cosine scan to the query's bucket
+    (single-probe). Recall<1 by construction; the exact baseline is
+    cosine_topk."""
+    qbucket = 0
+    for p, plane in enumerate(planes):
+        if sum(a * b for a, b in zip(query_vec, plane)) > 0:
+            qbucket |= 1 << p
+    with_buckets = lsh_bucket_ids(embeddings, planes).filter(F.col("bucket") == qbucket)
+    cand = embeddings.join(with_buckets.select("vec_id"), "vec_id")
+    return cosine_topk(cand, query_vec, k)
+
+
+# ---------------------------------------------------------- text analysis
+
+EN_STOPWORDS = ["the", "and", "of", "to", "in", "that", "is", "on", "for", "with"]
+DE_STOPWORDS = ["der", "die", "das", "und", "ist", "auf", "den", "durch", "über", "alte"]
+
+
+def _hits(tokens: Column, words: list[str]) -> Column:
+    lst = F.array(*[F.lit(w) for w in words])
+    return F.size(F.filter(tokens, lambda t: F.array_contains(lst, t)))
+
+
+def language_id(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """n-gram/stopword language heuristic: count language-marker tokens,
+    predict the argmax (ties → 'en'). Pure array expressions."""
+    tokens = F.split(F.lower(F.col(text_col)), " ")
+    en = _hits(tokens, EN_STOPWORDS)
+    de = _hits(tokens, DE_STOPWORDS)
+    return docs.select(
+        "doc_id", en.alias("en_hits"), de.alias("de_hits"),
+        F.when(de > en, "de").otherwise("en").alias("pred_lang"))
+
+
+def quality_score(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Quality heuristics: length, token count, punctuation ratio, stopword
+    ratio, composite score — the usual pre-training corpus filters."""
+    tokens = F.split(F.col(text_col), " ")
+    n_chars = F.length(F.col(text_col))
+    n_tokens = F.size(tokens)
+    n_punct = n_chars - F.length(F.regexp_replace(F.col(text_col), "[.,!?;:]", ""))
+    stop_hits = _hits(F.split(F.lower(F.col(text_col)), " "), EN_STOPWORDS)
+    punct_ratio = n_punct / F.greatest(n_chars, F.lit(1))
+    stop_ratio = stop_hits / F.greatest(n_tokens, F.lit(1))
+    score = (F.least(n_tokens / F.lit(100.0), F.lit(1.0)) * F.lit(0.5)
+             + stop_ratio * F.lit(0.4)
+             - punct_ratio * F.lit(0.1))
+    return docs.select(
+        "doc_id", n_chars.alias("n_chars"), n_tokens.alias("n_tokens"),
+        F.round(punct_ratio, 6).alias("punct_ratio"),
+        F.round(stop_ratio, 6).alias("stop_ratio"),
+        F.round(score, 6).alias("quality"))
+
+
+def token_counts(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Whitespace tokens + a BPE-ish proxy: alnum runs + count of
+    non-alnum/non-space marks (RE2-safe on both engines — no lookarounds)."""
+    ws = F.size(F.split(F.col(text_col), "\\s+"))
+    runs = F.size(F.expr(f"regexp_extract_all({text_col}, '[A-Za-z0-9]+', 0)"))
+    marks = F.length(F.regexp_replace(F.col(text_col), "[A-Za-z0-9\\s]", ""))
+    return docs.select("doc_id", ws.alias("ws_tokens"),
+                       (runs + marks).alias("bpeish_tokens"))
+
+
+def fingerprint(docs: DataFrame, text_col: str = "text", k: int = 8,
+                keep: int = 4) -> DataFrame:
+    """Document fingerprint: the `keep` lexicographically-smallest k-gram
+    md5s, joined — a winnowing-style sketch stable under small edits."""
+    sh = char_shingles(docs, text_col, k)
+    return (sh.withColumn("h", F.md5("shingle"))
+            .groupBy("doc_id")
+            .agg(F.concat_ws(",", F.slice(F.sort_array(F.collect_set("h")), 1, keep))
+                 .alias("fingerprint")))
+
+
+# ------------------------------------------------------------- multimodal
+
+MEDIA_FEATURE_DIM = 4
+
+
+def media_spans(span_docs: DataFrame) -> DataFrame:
+    """Media spans of the interleaved corpus: modality + numeric id parsed
+    from media_ref ('media://<modality>/<id>') with Column ops."""
+    from .documents import explode_spans
+
+    s = explode_spans(span_docs).filter(F.col("kind") == "media")
+    return s.select(
+        "doc_id", "span_idx", "offset", "media_ref",
+        F.regexp_extract("media_ref", r"media://(\w+)/(\d+)", 1).alias("modality"),
+        F.regexp_extract("media_ref", r"media://(\w+)/(\d+)", 2)
+         .cast("long").alias("media_id"))
+
+
+def decode_media_stub(media: DataFrame) -> DataFrame:
+    """'Decode' media behind a mapInPandas kernel with REAL Spark plumbing
+    (Arrow batches, explicit schema, vectorized body) and a FAKE deterministic
+    payload: feature[d] = (media_id * (d+1)) % 97 / 97. The real container
+    lacks image/audio codecs; swap `_fake_features` for a real decoder
+    (PIL/torchaudio) to productionize — the plan shape doesn't change."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    schema = T.StructType([
+        T.StructField("doc_id", T.StringType()),
+        T.StructField("span_idx", T.IntegerType()),
+        T.StructField("modality", T.StringType()),
+        T.StructField("features", T.ArrayType(T.DoubleType())),
+    ])
+
+    def _fake_features(media_id: "np.ndarray") -> list:
+        cols = [((media_id * (d + 1)) % 97) / 97.0 for d in range(MEDIA_FEATURE_DIM)]
+        return np.stack(cols, axis=1).tolist()
+
+    def kernel(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            mid = pdf["media_id"].to_numpy()
+            yield pd.DataFrame({
+                "doc_id": pdf["doc_id"],
+                "span_idx": pdf["span_idx"].astype("int32"),
+                "modality": pdf["modality"],
+                "features": _fake_features(mid),
+            })
+
+    return media.mapInPandas(kernel, schema)
