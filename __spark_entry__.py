@@ -333,6 +333,10 @@ def _query_vec(spark, sf_dir):
     return [float(v) for v in row.embedding]
 
 
+def q_embedding_neardup(spark, sf_dir):
+    return corpus.embedding_neardup_pairs(_t(spark, sf_dir, "embeddings"))
+
+
 def q_cosine_topk(spark, sf_dir):
     emb = _t(spark, sf_dir, "embeddings")
     q = _query_vec(spark, sf_dir)
@@ -485,6 +489,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_score": q_quality_score,
         "token_counts": q_token_counts,
         "fingerprint": q_fingerprint,
+        "embedding_neardup": q_embedding_neardup,
         "cosine_topk": q_cosine_topk,
         "ann_buckets": q_ann_buckets,
         "ann_topk": q_ann_topk,
@@ -774,6 +779,17 @@ def oracle_sql() -> dict[str, str]:
                    array_to_string((array_agg(DISTINCT md5(shingle)
                        ORDER BY md5(shingle)))[1:4], ',') AS fingerprint
             FROM shingles GROUP BY doc_id""",
+        "embedding_neardup": """
+            WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+                       FROM embeddings)
+            SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+                   round(list_dot_product(a.v, b.v)
+                         / (sqrt(list_dot_product(a.v, a.v))
+                            * sqrt(list_dot_product(b.v, b.v))), 6) AS cosine
+            FROM e a JOIN e b ON a.vec_id < b.vec_id
+            WHERE list_dot_product(a.v, b.v)
+                  / (sqrt(list_dot_product(a.v, a.v))
+                     * sqrt(list_dot_product(b.v, b.v))) > 0.437""",
         "cosine_topk": _emb_cosine_sql(),
         "ann_buckets": _ann_bucket_sql(),
         "ann_topk": _emb_cosine_sql(

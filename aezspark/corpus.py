@@ -181,6 +181,32 @@ def ann_topk(embeddings: DataFrame, query_vec: list[float],
     return cosine_topk(cand, query_vec, k)
 
 
+def embedding_neardup_pairs(embeddings: DataFrame, threshold: float = 0.437) -> DataFrame:
+    """Embedding-cosine near-dup pairs: all (a < b) with cosine > threshold.
+
+    Exact all-pairs is the small-N baseline; the scale path buckets by
+    lsh_bucket_ids first so the self-join is bucket-local (same construction
+    as ann_topk's single-probe)."""
+    a = embeddings.select(F.col("vec_id").alias("vec_a"),
+                          F.col("embedding").alias("emb_a"))
+    b = embeddings.select(F.col("vec_id").alias("vec_b"),
+                          F.col("embedding").alias("emb_b"))
+    dot = F.aggregate(F.zip_with("emb_a", "emb_b",
+                                 lambda x, y: x.cast("double") * y.cast("double")),
+                      F.lit(0.0), lambda acc, x: acc + x)
+    norm_a = F.sqrt(F.aggregate(F.zip_with("emb_a", "emb_a",
+                                           lambda x, y: x.cast("double") * y.cast("double")),
+                                F.lit(0.0), lambda acc, x: acc + x))
+    norm_b = F.sqrt(F.aggregate(F.zip_with("emb_b", "emb_b",
+                                           lambda x, y: x.cast("double") * y.cast("double")),
+                                F.lit(0.0), lambda acc, x: acc + x))
+    cos = dot / (norm_a * norm_b)
+    return (a.crossJoin(b).filter(F.col("vec_a") < F.col("vec_b"))
+            .withColumn("cosine", cos)
+            .filter(F.col("cosine") > threshold)
+            .select("vec_a", "vec_b", F.round("cosine", 6).alias("cosine")))
+
+
 # ---------------------------------------------------------- text analysis
 
 EN_STOPWORDS = ["the", "and", "of", "to", "in", "that", "is", "on", "for", "with"]

@@ -108,6 +108,39 @@ def degradation(lpd: Column) -> Column:
     return F.when(lpd.isNull() | (lpd == 0), 'nondegraded').otherwise('degraded')
 
 
+# ---- int-code variants for hot paths (avoid per-row string compares in the
+# 29-flag AEZ algebra; same semantics as the string decoders above) ----
+
+def tmr_idx(kg: Column) -> Column:
+    """1-based index into TMR_ORDER; NULL = invalid."""
+    return (F.when(kg.isin(1, 2, 3), 1)           # tropical-humid
+            .when(kg.isin(4, 5), 2)               # arid
+            .when(kg.isin(6, 7), 3)               # tropical-semiarid
+            .when(kg.isin(11, 12, 13, 14, 15, 16), 4)   # temperate-humid
+            .when(kg.isin(8, 9, 10), 5)           # temperate-semiarid
+            .when(kg.isin(25, 26, 27, 28), 6)     # boreal-humid
+            .when(kg.isin(17, 18, 19, 20, 21, 22, 23, 24), 7)  # boreal-semiarid
+            .when(kg.isin(29, 30), 8))            # arctic
+
+
+def lu_idx(lccs: Column) -> Column:
+    """0-based index into LU_NAMES; NULL = none."""
+    return (F.when(lccs.isin(FOREST_LC), 0)
+            .when(lccs.isin(10, 30), 1)
+            .when(lccs == 20, 2)
+            .when(lccs.isin(GRASS_LC), 3)
+            .when(lccs.isin(BARE_LC), 4)
+            .when(lccs == 190, 5)
+            .when(lccs == 210, 6)
+            .when(lccs == 220, 7))
+
+
+def soil_idx(wk: Column) -> Column:
+    """1=prime 2=good 3=marginal 4=barren 5=water; NULL = none."""
+    return (F.when(wk == 1, 1).when(wk == 2, 2)
+            .when(wk.isin(3, 4, 6), 3).when(wk == 5, 4).when(wk == 7, 5))
+
+
 def _z(col: Column) -> Column:
     return F.coalesce(col.cast("double"), F.lit(0.0))
 

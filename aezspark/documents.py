@@ -61,13 +61,25 @@ def assign_documents(docs: DataFrame, index, index_res: int = 6,
     return assign_points(pts, index, knn_fallback=knn_fallback)
 
 
-def with_aez(assigned: DataFrame, tiles_df: DataFrame, fine: GridSpec) -> DataFrame:
+def with_aez(assigned: DataFrame, tiles_df: DataFrame, fine: GridSpec,
+             broadcast_tiles: bool = True) -> DataFrame:
     """Enrich assigned points with the AEZ tile code of their fine-grid pixel.
     Equi-join against the tiles table (raster→vector lookup); blank = 255
-    (C_TMR_BLNK, process_imagery.py:41)."""
+    (C_TMR_BLNK, process_imagery.py:41).
+
+    broadcast_tiles=True ships the 2-column (cell_id, aez_code) dim to every
+    executor and makes the enrichment a map-side join — no shuffle of the
+    (much larger) points side. Right whenever the tile dim fits in executor
+    memory; for planet-scale fine grids (8.4e9 cells at 300 m) set False and
+    pre-bucket both sides by cell_id so the join is a co-partitioned SMJ."""
     pts = assigned.withColumn(
         "fine_cell_id", lonlat_to_cell_col(fine, F.col("lat"), F.col("lon")))
-    t = tiles_df.select(F.col("cell_id").alias("fine_cell_id"), "aez_code")
+    # blank (255) tiles need not be joined at all — the left-join coalesce
+    # reproduces them; dropping them shrinks the dim to land tiles only
+    t = (tiles_df.filter(F.col("aez_code") != 255)
+         .select(F.col("cell_id").alias("fine_cell_id"), "aez_code"))
+    if broadcast_tiles:
+        t = F.broadcast(t)
     return (pts.join(t, "fine_cell_id", "left")
             .withColumn("aez_code", F.coalesce(F.col("aez_code"), F.lit(255))))
 
@@ -105,14 +117,17 @@ def span_invariant_violations(docs_in: DataFrame, docs_out: DataFrame) -> int:
         | (F.col("seq_in") != F.col("seq_out"))).count()
 
 
-def doc_zone_counts(assigned_aez: DataFrame, salt_buckets: int = 16) -> DataFrame:
+def doc_zone_counts(assigned_aez: DataFrame) -> DataFrame:
     """Zonal doc aggregation: distinct documents per (country, aez_code).
-    Two-stage distinct-then-count keeps the hot-country shuffle salted by the
-    high-cardinality doc_id prefix (explicit skew handling, north_rule)."""
+
+    Skew handling: the distinct's shuffle key includes the high-cardinality
+    doc_id, so a hot country is spread over all reducers (the salt is
+    intrinsic — same effect as an explicit `pmod(hash(doc_id), k)` salt column
+    without the extra shuffle); the final (country, aez_code) aggregation then
+    runs on the already-deduplicated, much smaller set with map-side partial
+    aggregation."""
     distinct = (assigned_aez
                 .select("country", "aez_code", "doc_id")
-                .repartition(F.col("country"), F.col("aez_code"),
-                             F.crc32(F.col("doc_id")) % salt_buckets)
                 .distinct())
     return (distinct.groupBy("country", "aez_code")
             .agg(F.count("*").alias("n_docs")))

@@ -208,7 +208,7 @@ def ensure_fixtures(out_dir: str = DEFAULT_DIR, coarse_px: float = 2.5,
     """Idempotently generate the fixture world (and, optionally, the numpy
     oracle's expected_* outputs) into out_dir. Returns out_dir."""
     params = {"seed": SEED, "coarse_px": coarse_px, "n_docs": n_docs,
-              "with_expected": with_expected, "v": 7}
+              "with_expected": with_expected, "v": 8}
     manifest = os.path.join(out_dir, "manifest.json")
     if os.path.exists(manifest):
         with open(manifest) as f:
@@ -226,7 +226,11 @@ def ensure_fixtures(out_dir: str = DEFAULT_DIR, coarse_px: float = 2.5,
     tables["boundaries"] = pa.Table.from_pylist(brecs)
 
     for name, tbl in tables.items():
-        pq.write_table(tbl, os.path.join(out_dir, f"{name}.parquet"))
+        # small row groups: Spark assigns parquet splits at row-group
+        # granularity — a single-row-group file would pin the whole scan
+        # (and the PIP kernel behind it) to ONE task no matter the core count
+        pq.write_table(tbl, os.path.join(out_dir, f"{name}.parquet"),
+                       row_group_size=16384)
 
     with open(os.path.join(out_dir, "grid.json"), "w") as f:
         json.dump({"coarse_px": coarse_px, "coarse_grid_id": 1, "fine_grid_id": 2}, f)

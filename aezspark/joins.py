@@ -118,23 +118,42 @@ POINT_ASSIGN_FIELDS = [
 
 def assign_points(points: DataFrame, index, lat_col: str = "lat",
                   lon_col: str = "lon", knn_fallback: bool = True,
-                  many_to_many: bool = True) -> DataFrame:
+                  many_to_many: bool = True, tile_lookup=None,
+                  fine: GridSpec | None = None,
+                  project: list[str] | None = None) -> DataFrame:
     """Broadcast PIP join of arbitrary points; optional kNN nearest-zone
     fallback for points inside no polygon (SURVEY §2.9 #4).
 
     `index` is a BoundaryIndex or an existing Broadcast of one. Output keeps
     every input column and appends (feature_id, country, method) where method
     ∈ {'pip','knn'}; many-to-many preserves overlapping claims.
+
+    tile_lookup (+ fine): optional Broadcast of (sorted_cell_ids, codes)
+    numpy arrays — the AEZ raster→vector lookup fused into this same kernel
+    via searchsorted, adding an aez_code column with zero extra stages (right
+    whenever the non-blank tile dim fits in memory; otherwise leave None and
+    equi-join the tiles table — documents.with_aez).
+
+    project: input columns to keep in the output (default: all). Projecting
+    INSIDE the kernel matters at scale — dropped columns never cross the
+    Arrow boundary back to the JVM nor enter the downstream shuffle.
     """
     spark = points.sparkSession
     bidx = index if hasattr(index, "value") else broadcast_index(spark, index)
 
-    schema = T.StructType(list(points.schema.fields) + POINT_ASSIGN_FIELDS)
+    keep = [f.name for f in points.schema.fields] if project is None else list(project)
+    extra = list(POINT_ASSIGN_FIELDS)
+    if tile_lookup is not None:
+        extra = extra + [T.StructField("aez_code", T.IntegerType())]
+    schema = T.StructType([f for f in points.schema.fields if f.name in keep]
+                          + extra)
+    out_cols = [f.name for f in schema.fields]
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         idx: BoundaryIndex = bidx.value
         fids = idx.feature_ids().astype(np.int32)
         countries = idx.countries()
+        tl = tile_lookup.value if tile_lookup is not None else None
         for pdf in batches:
             if not len(pdf):
                 continue
@@ -157,9 +176,35 @@ def assign_points(points: DataFrame, index, lat_col: str = "lat",
                     up["country"] = countries[pos]
                     up["method"] = "knn"
                     outs.append(up)
-            yield pd.concat(outs, ignore_index=True)
+            out = pd.concat(outs, ignore_index=True) if len(outs) > 1 else outs[0]
+            if tl is not None:
+                cells_sorted, codes = tl
+                if len(cells_sorted) == 0:
+                    out["aez_code"] = np.int32(255)
+                else:
+                    olat = out[lat_col].to_numpy(dtype=np.float64)
+                    olon = out[lon_col].to_numpy(dtype=np.float64)
+                    fy, fx = fine.lonlat_to_yx(olon, olat)
+                    fcell = fine.cell_id(fy, fx)
+                    pos = np.searchsorted(cells_sorted, fcell)
+                    pos_c = np.minimum(pos, len(cells_sorted) - 1)
+                    hit = cells_sorted[pos_c] == fcell
+                    out["aez_code"] = np.where(hit, codes[pos_c], 255).astype(np.int32)
+            yield out[out_cols]
 
     return points.mapInPandas(kernel, schema)
+
+
+def tile_lookup_broadcast(spark: SparkSession, tiles_df: DataFrame):
+    """Collect the non-blank (cell_id → aez_code) tile dim as sorted numpy
+    arrays and broadcast it for the fused assign kernel. Blank (255) cells
+    are reconstructed by the lookup miss path, so only land tiles ship."""
+    pdf = (tiles_df.filter(F.col("aez_code") != 255)
+           .select("cell_id", "aez_code").toPandas())
+    cells = pdf["cell_id"].to_numpy(dtype=np.int64)
+    codes = pdf["aez_code"].to_numpy(dtype=np.int32)
+    order = np.argsort(cells)
+    return spark.sparkContext.broadcast((cells[order], codes[order]))
 
 
 # ------------------------------------------------------------------ salting

@@ -32,7 +32,20 @@ def get_spark(app: str = "aezspark", master: str | None = None,
          .config("spark.sql.execution.arrow.pyspark.enabled", "true")
          .config("spark.sql.execution.arrow.maxRecordsPerBatch", "65536")
          .config("spark.sql.session.timeZone", "UTC")
-         .config("spark.driver.memory", os.environ.get("AEZSPARK_DRIVER_MEM", "48g"))
+         # local-mode shuffle spills to the driver host's disk; tmpfs keeps
+         # the shuffle off the (slow, shared) block device. On a real
+         # cluster this knob is set per-node by the resource manager.
+         .config("spark.local.dir",
+                 os.environ.get("AEZSPARK_LOCAL_DIR",
+                                "/dev/shm/aezspark-local"
+                                if os.path.isdir("/dev/shm") else "/tmp"))
+         # NB: the default G1 collector stalls the Arrow-heavy kernels for
+         # tens of seconds in this single-JVM setup (measured 45s → 6.5s on
+         # the PIP assign stage at local[32] after switching); ParallelGC +
+         # a moderate heap is stable
+         .config("spark.driver.memory", os.environ.get("AEZSPARK_DRIVER_MEM", "16g"))
+         .config("spark.driver.extraJavaOptions",
+                 os.environ.get("AEZSPARK_JAVA_OPTS", "-XX:+UseParallelGC"))
          .config("spark.ui.enabled", "false"))
     spark = b.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

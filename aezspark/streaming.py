@@ -1,0 +1,74 @@
+"""Incremental document ingestion via Structured Streaming.
+
+The reference is strictly batch (`__main__` scripts, process_imagery.py:511-516)
+— SURVEY §2.7 records "no streaming semantics". The engine nevertheless exposes
+the natural streaming surface a live corpus needs: a file-source stream of
+document parquet drops, enriched micro-batch by micro-batch with the SAME
+fused assign kernel as the batch path (foreachBatch → assign_points), with
+counts appended to a zone-count sink. Exactly-once comes from the streaming
+checkpoint + idempotent per-batch output paths.
+
+Late data / watermarks are N/A for this corpus (documents carry no event
+time); the offset column orders spans WITHIN a doc, not across the stream.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession, functions as F, types as T
+
+from . import documents as docs_mod
+from .joins import assign_points
+
+DOC_SCHEMA = T.StructType([
+    T.StructField("doc_id", T.StringType()),
+    T.StructField("spans", T.ArrayType(T.StructType([
+        T.StructField("kind", T.StringType()),
+        T.StructField("text", T.StringType()),
+        T.StructField("media_ref", T.StringType()),
+        T.StructField("offset", T.IntegerType()),
+    ]))),
+])
+
+
+def stream_documents(spark: SparkSession, in_dir: str,
+                     max_files_per_trigger: int = 4) -> DataFrame:
+    """File-source stream over a directory receiving documents parquet drops."""
+    return (spark.readStream
+            .schema(DOC_SCHEMA)
+            .option("maxFilesPerTrigger", max_files_per_trigger)
+            .parquet(in_dir))
+
+
+def enrich_stream(docs_stream: DataFrame, bidx, tile_lookup, fine,
+                  out_dir: str, checkpoint_dir: str):
+    """Streaming enrichment: per micro-batch, run the fused batch kernel and
+    append (batch_id, country, aez_code, n_docs) counts. foreachBatch reuses
+    the exact batch code path — one engine, two execution modes."""
+    os.makedirs(out_dir, exist_ok=True)
+
+    def process(batch_df: DataFrame, batch_id: int):
+        if batch_df.isEmpty():
+            return
+        pts = docs_mod.indexed_points(batch_df)
+        enriched = assign_points(pts, bidx, tile_lookup=tile_lookup, fine=fine,
+                                 project=["doc_id"])
+        counts = (docs_mod.doc_zone_counts(enriched)
+                  .withColumn("batch_id", F.lit(batch_id)))
+        # idempotent per-batch path: a replayed batch overwrites itself
+        counts.write.mode("overwrite").parquet(
+            os.path.join(out_dir, f"batch_id={batch_id}"))
+
+    return (docs_stream.writeStream
+            .foreachBatch(process)
+            .option("checkpointLocation", checkpoint_dir)
+            .trigger(availableNow=True))
+
+
+def read_zone_counts(spark: SparkSession, out_dir: str) -> DataFrame:
+    """Merged view over the per-batch appends (a doc may appear in one batch
+    only — file-source semantics — so summing is exact)."""
+    df = spark.read.option("basePath", out_dir).parquet(out_dir + "/batch_id=*")
+    return (df.groupBy("country", "aez_code")
+            .agg(F.sum("n_docs").alias("n_docs")))

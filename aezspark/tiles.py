@@ -57,47 +57,54 @@ def tile_codes(spark: SparkSession, cells_kg: DataFrame, cells_slope: DataFrame,
                 "coarse_cell_id", "left")
           .join(cells_lc.select("cell_id", "lccs"), "cell_id", "left"))
 
+    # one narrow projection of small-int class codes (cheap CASEs, evaluated
+    # once; the 29 AEZ flags below are then pure int comparisons — keeps the
+    # 2.3M+-row hot loop inside whole-stage codegen with no string compares)
     frac = D.slope_fractions({b: F.col(f"c{b}") for b in range(1, 9)})
     plur = D.slope_plurality(frac)
-    lu = D.land_use(F.col("lccs"))
-    soil = D.soil_health(F.col("wk_class"))
-    tmr = D.tmr(F.col("kg_class"))
+    coded = df.select(
+        "cell_id", "yf", "xf",
+        D.tmr_idx(F.col("kg_class")).alias("tmri"),
+        D.lu_idx(F.col("lccs")).alias("lui"),
+        D.soil_idx(F.col("wk_class")).alias("soili"),
+        plur['steep'].alias("p_st"), plur['moderate'].alias("p_mo"),
+        plur['minimal'].alias("p_mi"))
+
+    lui, soili = F.col("lui"), F.col("soili")
+    p = {'minimal': F.col("p_mi"), 'moderate': F.col("p_mo"), 'steep': F.col("p_st")}
 
     # AEZ flags n=1..29 with plurality booleans as slope indicators
     # (produce_GeoTIFF passes plurality dict into yield_AEZs,
     # process_imagery.py:452,463). Boolean OR makes the AEZ29 barren-zeroing
     # a no-op here (bare|barren), unlike the weighted CSV path.
     flags = []
-    for use in ('forest', 'grassland', 'cropland_irrigated', 'cropland_rainfed'):
-        u = lu == use
-        flags.append(u & (soil == 'prime') & plur['minimal'])
-        flags.append(u & (soil == 'good') & plur['minimal'])
-        flags.append(u & soil.isin('good', 'prime') & plur['moderate'])
-        flags.append(u & soil.isin('good', 'prime') & plur['steep'])
-        flags.append(u & (soil == 'marginal') & plur['minimal'])
-        flags.append(u & (soil == 'marginal') & plur['moderate'])
-        flags.append(u & (soil == 'marginal') & plur['steep'])
-    flags.append(lu.isin('bare', 'ice', 'urban') | (soil == 'barren'))
+    for use_i in (0, 3, 2, 1):  # forest, grassland, irrigated, rainfed (LU_NAMES idx)
+        u = lui == use_i
+        flags.append(u & (soili == 1) & p['minimal'])
+        flags.append(u & (soili == 2) & p['minimal'])
+        flags.append(u & soili.isin(1, 2) & p['moderate'])
+        flags.append(u & soili.isin(1, 2) & p['steep'])
+        flags.append(u & (soili == 3) & p['minimal'])
+        flags.append(u & (soili == 3) & p['moderate'])
+        flags.append(u & (soili == 3) & p['steep'])
+    flags.append(lui.isin(4, 7, 5) | (soili == 4))  # bare/ice/urban ∪ barren
 
     max_aez = F.greatest(*[F.when(flag, F.lit(n))
                            for n, flag in enumerate(flags, 1)])
-    tmr_base = F.when(tmr.isNull(), F.lit(None)).otherwise(
-        F.array_position(F.array(*[F.lit(t) for t in D.TMR_ORDER]), tmr) * 30 - 30)
-    aez_code = F.when(tmr_base.isNotNull() & max_aez.isNotNull(),
-                      tmr_base + max_aez - 1).otherwise(255).cast("int")
+    aez_code = F.when(F.col("tmri").isNotNull() & max_aez.isNotNull(),
+                      (F.col("tmri") - 1) * 30 + max_aez - 1).otherwise(255).cast("int")
 
-    slope_code = (F.when(plur['steep'], 2).when(plur['moderate'], 1)
-                  .when(plur['minimal'], 0).otherwise(3).cast("int"))
-    lu_code = F.when(lu.isNull(), 8).otherwise(
-        F.array_position(F.array(*[F.lit(u) for u in D.LU_NAMES]), lu) - 1).cast("int")
-    soil_code = (F.when(soil == 'prime', 0).when(soil == 'good', 1)
-                 .when(soil == 'marginal', 2).when(soil == 'barren', 4)
-                 .when(soil == 'water', 5).otherwise(3).cast("int"))
+    slope_code = (F.when(p['steep'], 2).when(p['moderate'], 1)
+                  .when(p['minimal'], 0).otherwise(3).cast("int"))
+    lu_code = F.coalesce(lui, F.lit(8)).cast("int")
+    soil_code = (F.when(soili == 1, 0).when(soili == 2, 1)
+                 .when(soili == 3, 2).when(soili == 4, 4)
+                 .when(soili == 5, 5).otherwise(3).cast("int"))
 
     tile_id = (F.floor(F.col("yf") / tile_px) * F.lit((fine.nx + tile_px - 1) // tile_px)
                + F.floor(F.col("xf") / tile_px)).cast("long")
 
-    return df.select(
+    return coded.select(
         "cell_id",
         tile_id.alias("tile_id"),
         aez_code.alias("aez_code"),

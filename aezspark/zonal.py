@@ -123,27 +123,29 @@ def zonal_dg(asg: DataFrame, cells_lpd: DataFrame, coarse: GridSpec,
 
 # ---------------------------------------------------------------- AEZ (A7)
 
-def _aez_weight_exprs(lu, soil, slope: dict):
+def _aez_weight_exprs(lui, soili, slope: dict):
     """The 29 AEZ weight expressions (yield_AEZs, process_imagery.py:137-198):
     good+prime merged on moderate/steep AEZs; AEZ29 = bare∪ice∪urban plus
-    barren-soil not already counted as bare (the in-place barren[bare]=0)."""
+    barren-soil not already counted as bare (the in-place barren[bare]=0).
+    All class tests are small-int comparisons (lu_idx/soil_idx codes) so the
+    hot projection stays cheap inside codegen."""
     def ind(cond):
         return F.when(cond, F.lit(1.0)).otherwise(F.lit(0.0))
 
     ws = []
-    for use in ('forest', 'grassland', 'cropland_irrigated', 'cropland_rainfed'):
-        u = lu == use
-        ws.append(ind(u & (soil == 'prime')) * slope['minimal'])
-        ws.append(ind(u & (soil == 'good')) * slope['minimal'])
-        ws.append(ind(u & soil.isin('good', 'prime')) * slope['moderate'])
-        ws.append(ind(u & soil.isin('good', 'prime')) * slope['steep'])
-        ws.append(ind(u & (soil == 'marginal')) * slope['minimal'])
-        ws.append(ind(u & (soil == 'marginal')) * slope['moderate'])
-        ws.append(ind(u & (soil == 'marginal')) * slope['steep'])
-    bare = lu.isin('bare', 'ice', 'urban')
-    ws.append(ind(bare | ((soil == 'barren') & ~F.coalesce(bare, F.lit(False)))))
-    # reorder: reference yields forest(1-7), grassland(8-14), irrigated(15-21),
-    # rainfed(22-28), AEZ29 — which is exactly the loop order above.
+    for use_i in (0, 3, 2, 1):  # forest, grassland, irrigated, rainfed
+        u = lui == use_i
+        ws.append(ind(u & (soili == 1)) * slope['minimal'])
+        ws.append(ind(u & (soili == 2)) * slope['minimal'])
+        ws.append(ind(u & soili.isin(1, 2)) * slope['moderate'])
+        ws.append(ind(u & soili.isin(1, 2)) * slope['steep'])
+        ws.append(ind(u & (soili == 3)) * slope['minimal'])
+        ws.append(ind(u & (soili == 3)) * slope['moderate'])
+        ws.append(ind(u & (soili == 3)) * slope['steep'])
+    bare = lui.isin(4, 7, 5)  # bare, ice, urban
+    ws.append(ind(bare | ((soili == 4) & ~F.coalesce(bare, F.lit(False)))))
+    # order: reference yields forest(1-7), grassland(8-14), irrigated(15-21),
+    # rainfed(22-28), AEZ29 — exactly the loop order above.
     return ws
 
 
@@ -164,8 +166,8 @@ def aez_long(asg: DataFrame, cells_kg: DataFrame, cells_slope: DataFrame,
              .join(cells_slope.select("cell_id", *[f"c{b}" for b in range(1, 9)]),
                    "cell_id", "left")
              .join(cells_wk.select("cell_id", "wk_class"), "cell_id", "left")
-             .withColumn("tmr", D.tmr(F.col("kg_class")))
-             .filter(F.col("tmr").isNotNull())  # invalid regime contributes 0
+             .withColumn("tmri", D.tmr_idx(F.col("kg_class")))
+             .filter(F.col("tmri").isNotNull())  # invalid regime contributes 0
              .withColumn("km2", km2_col(coarse, F.col("y")) / F.lit(9.0)))
 
     fine9 = (attrs
@@ -180,18 +182,20 @@ def aez_long(asg: DataFrame, cells_kg: DataFrame, cells_slope: DataFrame,
         cells_lc.select(F.col("cell_id").alias("fine_cell_id"), "lccs"),
         "fine_cell_id", "left")
 
-    lu = D.land_use(F.col("lccs"))
-    soil = D.soil_health(F.col("wk_class"))
+    lui = D.lu_idx(F.col("lccs"))
+    soili = D.soil_idx(F.col("wk_class"))
     slope = D.slope_fractions({b: F.col(f"c{b}") for b in range(1, 9)})
-    ws = _aez_weight_exprs(lu, soil, slope)
+    ws = _aez_weight_exprs(lui, soili, slope)
 
-    agg = (joined.groupBy("country", "tmr")
+    agg = (joined.groupBy("country", "tmri")
            .agg(*[F.sum(w * F.col("km2")).alias(f"a{n}")
                   for n, w in enumerate(ws, 1)]))
 
+    tmr_name = F.element_at(F.array(*[F.lit(t) for t in D.TMR_ORDER]),
+                            F.col("tmri").cast("int"))
     stack_expr = "stack(29, " + ", ".join(
         f"'{n}', a{n}" for n in range(1, 30)) + ") as (aez_n, km2)"
-    melted = (agg.select("country", "tmr", F.expr(stack_expr))
+    melted = (agg.select("country", tmr_name.alias("tmr"), F.expr(stack_expr))
               .withColumn("class", F.concat(F.col("tmr"), F.lit("|AEZ"),
                                             F.col("aez_n")))
               .groupBy("country", "class").agg(F.sum("km2").alias("km2")))

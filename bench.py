@@ -1,0 +1,180 @@
+"""Benchmark harness — prints ONE JSON line per the driver contract.
+
+Headline queries: the flagship documents/sec spatial-join+tile pipeline
+(BASELINE.json metric) over a deterministically generated interleaved corpus,
+the AEZ allocation + tile classification at a 0.5° bench world, and
+representative relational + corpus-op queries at $SPARK_GRAFT_SF_DIR.
+
+Env knobs:
+  SPARK_GRAFT_SF_DIR   default /root/testdata/sf0.1
+  SPARK_GRAFT_CPUS     default 32 (→ master local[N], shuffle partitions N)
+  BENCH_ONLY           comma-separated query subset (used by BENCH/scaling.py)
+  BENCH_DOCS           flagship corpus size (default 200000)
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+def bench_fx_dir(n_docs: int) -> str:
+    # size-keyed dir: switching corpus size must not clobber (and force a
+    # 30-minute regeneration of) a previously generated corpus
+    return f"/root/repo/build/fixtures/bench_{n_docs}"
+
+
+def _tiles_cache(spark, w):
+    """The tiles table is a build-once static index (the reference's
+    results/AEZ.tif analog); materialize it next to the bench fixtures and
+    reuse across runs/corpora."""
+    import os
+
+    path = os.path.join(w.fx_dir, "tiles_cache.parquet")
+    if not os.path.isdir(path):
+        w.tiles().write.mode("overwrite").parquet(path)
+    return spark.read.parquet(path)
+
+
+_WORLD_CACHE: dict = {}
+
+
+def _flagship(spark, n_docs: int):
+    """documents/sec pipeline: interleaved docs → geo spans → cell index →
+    broadcast PIP (+kNN) → AEZ tile enrichment → zonal doc counts."""
+    from pyspark.sql import functions as F
+
+    from aezspark import documents as docs_mod
+    from aezspark.pipelines import World
+    from aezspark.fixtures.generate import ensure_fixtures
+
+    fx = ensure_fixtures(bench_fx_dir(n_docs), coarse_px=0.5, n_docs=n_docs,
+                         with_expected=False)
+    from aezspark.joins import assign_points, tile_lookup_broadcast
+
+    if id(spark) not in _WORLD_CACHE:
+        w = World(spark, fx)
+        tl = tile_lookup_broadcast(spark, _tiles_cache(spark, w))
+        _WORLD_CACHE[id(spark)] = (w, tl)
+    w, tl = _WORLD_CACHE[id(spark)]
+    docs = w.documents()
+    # fused kernel path: PIP + kNN + tile lookup in ONE Arrow pass; only the
+    # columns the zonal count needs leave the kernel
+    pts = docs_mod.indexed_points(docs)
+    enriched = assign_points(pts, w.bidx, tile_lookup=tl, fine=w.fine,
+                             project=["doc_id"])
+    out = docs_mod.doc_zone_counts(enriched)
+    return out.agg(F.sum("n_docs")).collect()[0][0]
+
+
+def _aez(spark, fx):
+    from aezspark.pipelines import World
+
+    w = World(spark, fx)
+    return w.aez().count()
+
+
+def _tiles(spark, fx):
+    from pyspark.sql import functions as F
+
+    from aezspark.pipelines import World
+
+    w = World(spark, fx)
+    return (w.tiles().filter(F.col("aez_code") != 255)
+            .groupBy("aez_code").count().count())
+
+
+def _relational(spark, sf_dir):
+    import __spark_entry__ as E
+
+    E.q_pricing_summary(spark, sf_dir).collect()
+    E.q_revenue_by_nation(spark, sf_dir).collect()
+    return E.q_latest_event_per_user(spark, sf_dir).count()
+
+
+def _dedup(spark, sf_dir):
+    import __spark_entry__ as E
+
+    return E.q_lsh_candidate_pairs(spark, sf_dir).count()
+
+
+def _simhash(spark, sf_dir):
+    import __spark_entry__ as E
+
+    return E.q_simhash(spark, sf_dir).count()
+
+
+def _ann(spark, sf_dir):
+    import __spark_entry__ as E
+
+    E.q_ann_buckets(spark, sf_dir).count()
+    return E.q_cosine_topk(spark, sf_dir).count()
+
+
+def main():
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    n_docs = int(os.environ.get("BENCH_DOCS", "200000"))
+    only = [s for s in os.environ.get("BENCH_ONLY", "").split(",") if s]
+
+    # generate the bench world before timing (cached across runs)
+    from aezspark.fixtures.generate import ensure_fixtures
+    fx = ensure_fixtures(bench_fx_dir(n_docs), coarse_px=0.5, n_docs=n_docs,
+                         with_expected=False)
+
+    from aezspark.session import get_spark
+    spark = get_spark("aezspark-bench", master=f"local[{cpus}]")
+    spark.range(10_000_000).selectExpr("sum(id)").collect()  # JVM warmup
+    # Python-worker warmup: fork the worker pool + import numpy/pandas once
+    # so steady-state throughput is measured, not process spawn
+    import pandas as _pd  # noqa
+    (spark.range(0, cpus * 4, 1, cpus * 4)
+     .mapInPandas(lambda it: ( _pd.DataFrame({"id": b["id"]}) for b in it),
+                  "id long").count())
+
+    benches = {
+        "flagship_docs": lambda: _flagship(spark, n_docs),
+        "aez_by_country": lambda: _aez(spark, fx),
+        "tile_classify": lambda: _tiles(spark, fx),
+        "relational_core": lambda: _relational(spark, sf_dir),
+        "dedup_minhash_lsh": lambda: _dedup(spark, sf_dir),
+        "simhash": lambda: _simhash(spark, sf_dir),
+        "ann_cosine": lambda: _ann(spark, sf_dir),
+    }
+    if only:
+        benches = {k: v for k, v in benches.items() if k in only}
+
+    reps = int(os.environ.get("BENCH_REPS", "1"))
+    queries = {}
+    total = 0.0
+    for name, fn in benches.items():
+        best = None
+        for _ in range(reps):
+            t0 = time.monotonic()
+            fn()
+            dt = time.monotonic() - t0
+            best = dt if best is None else min(best, dt)
+        queries[name] = round(best, 3)
+        total += best
+
+    result = {
+        "metric": "spatial-join+tile pipeline wall time (flagship docs/sec in extras)",
+        "value": round(total, 3),
+        "unit": "sec",
+        "queries": queries,
+        "sf": sf_dir.rstrip("/").split("sf")[-1],
+        "extras": {
+            "cpus": cpus,
+            "flagship_docs": n_docs,
+            "docs_per_sec": round(n_docs / queries["flagship_docs"], 1)
+            if "flagship_docs" in queries else None,
+        },
+    }
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

@@ -33,6 +33,24 @@ def test_region_rollup_parity(world, dataset):
     _cmp(got, exp, ["region", "class"])
 
 
+def test_row_total_qa(world):
+    """A6 analog: the reference QA-checks per-country row sums against known
+    total areas (test_extract_country_data.py:24,63-67). Internal exact form:
+    the binary degraded histogram partitions the whole mask, so its row sums
+    must equal the assignment's total km² per country."""
+    from pyspark.sql import functions as F
+    from aezspark.grid import km2_col
+
+    dg = (world.zonal("dg").groupBy("country")
+          .agg(F.sum("km2").alias("total")).toPandas()
+          .set_index("country")["total"])
+    area = (world.asg.withColumn("km2", km2_col(world.coarse, F.col("y")))
+            .groupBy("country").agg(F.sum("km2").alias("total")).toPandas()
+            .set_index("country")["total"])
+    for c in area.index:
+        assert abs(dg[c] - area[c]) < 1e-6 * max(area[c], 1.0)
+
+
 def test_assignment_parity(world):
     got = world.asg.toPandas().sort_values(["cell_id", "feature_id"]).reset_index(drop=True)
     exp = (world.expected("assignment").toPandas()

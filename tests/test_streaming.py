@@ -1,0 +1,73 @@
+"""Streaming ingestion: the file-source stream, enriched micro-batch by
+micro-batch with the same fused kernel, must reproduce the batch pipeline's
+zone counts exactly — and resume from its checkpoint when new files land."""
+
+import os
+import shutil
+
+import pandas as pd
+from pyspark.sql import functions as F
+
+from aezspark import documents as docs_mod, streaming as st
+from aezspark.joins import assign_points, tile_lookup_broadcast
+
+
+def _write_drops(world, in_dir, n_drops=3):
+    docs = world.documents()
+    os.makedirs(in_dir, exist_ok=True)
+    for i in range(n_drops):
+        (docs.filter(F.pmod(F.xxhash64("doc_id"), n_drops) == i)
+         .write.mode("overwrite").parquet(os.path.join(in_dir, f"drop_{i}.parquet")))
+    # file source wants files directly under the dir
+    for i in range(n_drops):
+        src = os.path.join(in_dir, f"drop_{i}.parquet")
+        for f in os.listdir(src):
+            if f.endswith(".parquet"):
+                shutil.move(os.path.join(src, f), os.path.join(in_dir, f"file_{i}_{f}"))
+        shutil.rmtree(src)
+
+
+def test_stream_matches_batch(world, tmp_path):
+    in_dir = str(tmp_path / "in")
+    out_dir = str(tmp_path / "out")
+    cp_dir = str(tmp_path / "cp")
+    _write_drops(world, in_dir)
+
+    tl = tile_lookup_broadcast(world.spark, world.tiles())
+    q = st.enrich_stream(st.stream_documents(world.spark, in_dir),
+                         world.bidx, tl, world.fine, out_dir, cp_dir)
+    q.start().awaitTermination()
+
+    got = (st.read_zone_counts(world.spark, out_dir).toPandas()
+           .sort_values(["country", "aez_code"]).reset_index(drop=True))
+
+    pts = docs_mod.indexed_points(world.documents())
+    enriched = assign_points(pts, world.bidx, tile_lookup=tl, fine=world.fine,
+                             project=["doc_id"])
+    exp = (docs_mod.doc_zone_counts(enriched).toPandas()
+           .sort_values(["country", "aez_code"]).reset_index(drop=True))
+    pd.testing.assert_frame_equal(got, exp[got.columns.tolist()], check_dtype=False)
+
+
+def test_stream_resumes_from_checkpoint(world, tmp_path):
+    in_dir = str(tmp_path / "in")
+    out_dir = str(tmp_path / "out")
+    cp_dir = str(tmp_path / "cp")
+    _write_drops(world, in_dir, n_drops=2)
+
+    tl = tile_lookup_broadcast(world.spark, world.tiles())
+    st.enrich_stream(st.stream_documents(world.spark, in_dir),
+                     world.bidx, tl, world.fine, out_dir, cp_dir).start().awaitTermination()
+    n_first = len(os.listdir(out_dir))
+
+    # new files land; a resumed availableNow run must process ONLY them
+    docs = world.documents().limit(200)
+    tmp = str(tmp_path / "extra")
+    docs.write.mode("overwrite").parquet(tmp)
+    for f in os.listdir(tmp):
+        if f.endswith(".parquet"):
+            shutil.move(os.path.join(tmp, f), os.path.join(in_dir, f"late_{f}"))
+
+    st.enrich_stream(st.stream_documents(world.spark, in_dir),
+                     world.bidx, tl, world.fine, out_dir, cp_dir).start().awaitTermination()
+    assert len(os.listdir(out_dir)) > n_first  # new batch dirs appended
