@@ -73,24 +73,37 @@ def tile_codes(spark: SparkSession, cells_kg: DataFrame, cells_slope: DataFrame,
     lui, soili = F.col("lui"), F.col("soili")
     p = {'minimal': F.col("p_mi"), 'moderate': F.col("p_mo"), 'steep': F.col("p_st")}
 
-    # AEZ flags n=1..29 with plurality booleans as slope indicators
+    # AEZ code n=1..29 with plurality booleans as slope indicators
     # (produce_GeoTIFF passes plurality dict into yield_AEZs,
     # process_imagery.py:452,463). Boolean OR makes the AEZ29 barren-zeroing
     # a no-op here (bare|barren), unlike the weighted CSV path.
-    flags = []
-    for use_i in (0, 3, 2, 1):  # forest, grassland, irrigated, rainfed (LU_NAMES idx)
-        u = lui == use_i
-        flags.append(u & (soili == 1) & p['minimal'])
-        flags.append(u & (soili == 2) & p['minimal'])
-        flags.append(u & soili.isin(1, 2) & p['moderate'])
-        flags.append(u & soili.isin(1, 2) & p['steep'])
-        flags.append(u & (soili == 3) & p['minimal'])
-        flags.append(u & (soili == 3) & p['moderate'])
-        flags.append(u & (soili == 3) & p['steep'])
-    flags.append(lui.isin(4, 7, 5) | (soili == 4))  # bare/ice/urban ∪ barren
-
-    max_aez = F.greatest(*[F.when(flag, F.lit(n))
-                           for n, flag in enumerate(flags, 1)])
+    #
+    # The reference's last-writer-wins loop (process_imagery.py:461-466) is
+    # equivalent to "the single matching (use, soil, slope) flag" because the
+    # 29 flags are mutually exclusive per pixel: exactly one land-use group
+    # matches (lui is a single code), exactly one soil class, exactly one
+    # plurality winner, and AEZ29's condition (bare/ice/urban land use, or
+    # barren soil) is disjoint from every use-group flag (those require
+    # lui ∈ {0,1,2,3} and soili ∈ {1,2,3}). A previous formulation used
+    # greatest(29 × when(flag, n)), which inlines each flag tree 29 times and
+    # pushed the generated projection method past Janino's 64 KB limit
+    # (silent whole-stage-codegen fallback → interpreted eval on the hottest
+    # projection). The nested CASE below is small, stays in codegen, and is
+    # pinned to the greatest() form by tests/test_tiles_codegen.py.
+    aez29 = lui.isin(4, 7, 5) | (soili == 4)  # bare/ice/urban ∪ barren
+    group_base = (F.when(lui == 0, 0).when(lui == 3, 7)
+                  .when(lui == 2, 14).when(lui == 1, 21))  # loop order: F,G,I,R
+    # plurality flags may overlap on ties (slope_plurality); the overwrite
+    # order resolves STP > MOD > MIN, so test in descending offset order
+    in_group = (
+        F.when(soili.isin(1, 2),
+               F.when(p['steep'], 4)
+                .when(p['moderate'], 3)
+                .when(p['minimal'], F.when(soili == 1, 1).otherwise(2)))
+         .when(soili == 3,
+               F.when(p['steep'], 7).when(p['moderate'], 6)
+                .when(p['minimal'], 5)))
+    max_aez = F.when(aez29, F.lit(29)).otherwise(group_base + in_group)
     aez_code = F.when(F.col("tmri").isNotNull() & max_aez.isNotNull(),
                       (F.col("tmri") - 1) * 30 + max_aez - 1).otherwise(255).cast("int")
 
