@@ -26,11 +26,23 @@ from dataclasses import dataclass, field
 import numpy as np
 
 
-def point_in_ring(lon, lat, ring_lons, ring_lats):
-    """Even-odd crossing-number test, vectorized over N points.
+POINT_IN_RING_SORT_THRESHOLD = 32  # edges below this: plain per-edge loop
 
-    Classic ray casting: cast a ray in +lon; count edge crossings.
-    """
+
+def point_in_ring(lon, lat, ring_lons, ring_lats):
+    """Even-odd crossing-number test, vectorized over N points, output-
+    sensitive over edges.
+
+    Classic ray casting (ray in +lon, count crossings). Horizontal edges are
+    dropped up front (they never cross under the half-open rule: an edge
+    crosses a point's ray iff min(y) <= lat < max(y)). For rings beyond
+    POINT_IN_RING_SORT_THRESHOLD edges the points are sorted by latitude once
+    and each edge touches only its latitude-span slice (two searchsorted
+    probes + vector ops on a contiguous slice), so total work is
+    Σ_edges |points in the edge's lat span| instead of points × edges —
+    ~10-100× less on coastline-scale rings whose edges each span a sliver of
+    latitude. Small rings (fixture polygons) skip the sort and use the plain
+    per-edge loop, which is faster than paying the argsort."""
     lon = np.asarray(lon, dtype=np.float64)
     lat = np.asarray(lat, dtype=np.float64)
     rx = np.asarray(ring_lons, dtype=np.float64)
@@ -38,15 +50,38 @@ def point_in_ring(lon, lat, ring_lons, ring_lats):
     inside = np.zeros(lon.shape, dtype=bool)
     x1, y1 = rx[:-1], ry[:-1]
     x2, y2 = rx[1:], ry[1:]
-    for i in range(x1.shape[0]):
-        a_y, b_y = y1[i], y2[i]
-        if a_y == b_y:
-            continue  # horizontal edge never crosses the half-open ray rule
-        crosses = (a_y > lat) != (b_y > lat)
-        if not crosses.any():
+    keep = y1 != y2  # horizontal edges never cross the half-open ray rule
+    x1, y1, x2, y2 = x1[keep], y1[keep], x2[keep], y2[keep]
+    n_edges = x1.shape[0]
+    if n_edges == 0 or len(lon) == 0:
+        return inside
+
+    if n_edges < POINT_IN_RING_SORT_THRESHOLD:
+        for i in range(n_edges):
+            a_y, b_y = y1[i], y2[i]
+            crosses = (a_y > lat) != (b_y > lat)
+            if not crosses.any():
+                continue
+            x_at = x1[i] + (lat - a_y) * (x2[i] - x1[i]) / (b_y - a_y)
+            inside ^= crosses & (lon < x_at)
+        return inside
+
+    order = np.argsort(lat, kind="stable")
+    slat = lat[order]
+    slon = lon[order]
+    slope = (x2 - x1) / (y2 - y1)
+    lo = np.minimum(y1, y2)
+    hi = np.maximum(y1, y2)
+    i0 = np.searchsorted(slat, lo, side="left")
+    i1 = np.searchsorted(slat, hi, side="left")
+    parity = np.zeros(len(lon), dtype=bool)
+    for i in range(n_edges):
+        s, e = i0[i], i1[i]
+        if s >= e:
             continue
-        x_at = x1[i] + (lat - a_y) * (x2[i] - x1[i]) / (b_y - a_y)
-        inside ^= crosses & (lon < x_at)
+        x_at = x1[i] + (slat[s:e] - y1[i]) * slope[i]
+        parity[s:e] ^= slon[s:e] < x_at
+    inside[order] = parity
     return inside
 
 
@@ -144,6 +179,7 @@ class BoundaryIndex:
             index_px = max(med / 3.0, 0.25)
         self.index_px = float(index_px)
         self.index_nx = int(np.ceil(360.0 / self.index_px))
+        self.index_ny = int(np.ceil(180.0 / self.index_px))
         buckets: dict[int, list[int]] = {}
         for i, poly in enumerate(polygons):
             lat_min, lat_max, lon_min, lon_max = poly.bbox
@@ -153,7 +189,8 @@ class BoundaryIndex:
                 for bx in range(x0, x1 + 1):
                     buckets.setdefault(by * self.index_nx + bx, []).append(i)
         self.cell_to_feats = {c: np.array(v, dtype=np.int64) for c, v in buckets.items()}
-        # flattened segment arrays for kNN distance scans
+        # flattened segment arrays for kNN distance scans, concatenated in
+        # feature order; seg_ptr[f]:seg_ptr[f+1] is feature f's slice
         segs = [p.segments() for p in polygons]
         self.seg_x1 = np.concatenate([s[0] for s in segs])
         self.seg_y1 = np.concatenate([s[1] for s in segs])
@@ -161,19 +198,36 @@ class BoundaryIndex:
         self.seg_y2 = np.concatenate([s[3] for s in segs])
         self.seg_feat = np.concatenate([
             np.full(len(s[0]), i, dtype=np.int64) for i, s in enumerate(segs)])
+        self.seg_ptr = np.concatenate(
+            ([0], np.cumsum([len(s[0]) for s in segs]))).astype(np.int64)
+        # feature bboxes as arrays for vectorized lower bounds
+        bb = np.array([p.bbox for p in polygons], dtype=np.float64).reshape(-1, 4)
+        self.bb_lat_min, self.bb_lat_max = bb[:, 0], bb[:, 1]
+        self.bb_lon_min, self.bb_lon_max = bb[:, 2], bb[:, 3]
 
+    # bucket coordinates are clamped to the grid so boundary values
+    # (lon=180, lat=-90) don't alias into the next row's column 0
     def _bx(self, lon) -> int:
-        return int(np.floor((lon + 180.0) / self.index_px))
+        return min(max(int(np.floor((lon + 180.0) / self.index_px)), 0),
+                   self.index_nx - 1)
 
     def _by(self, lat) -> int:
-        return int(np.floor((90.0 - lat) / self.index_px))
+        return min(max(int(np.floor((90.0 - lat) / self.index_px)), 0),
+                   self.index_ny - 1)
+
+    def bucket_xy(self, lon, lat):
+        """Vectorized clamped (bx, by) bucket coordinates for points."""
+        lon = np.asarray(lon, dtype=np.float64)
+        lat = np.asarray(lat, dtype=np.float64)
+        bx = np.clip(np.floor((lon + 180.0) / self.index_px).astype(np.int64),
+                     0, self.index_nx - 1)
+        by = np.clip(np.floor((90.0 - lat) / self.index_px).astype(np.int64),
+                     0, self.index_ny - 1)
+        return bx, by
 
     def bucket_of(self, lon, lat):
         """Vectorized bucket key for points."""
-        lon = np.asarray(lon, dtype=np.float64)
-        lat = np.asarray(lat, dtype=np.float64)
-        bx = np.floor((lon + 180.0) / self.index_px).astype(np.int64)
-        by = np.floor((90.0 - lat) / self.index_px).astype(np.int64)
+        bx, by = self.bucket_xy(lon, lat)
         return by * self.index_nx + bx
 
     def candidates(self, cells):
@@ -239,15 +293,109 @@ class BoundaryIndex:
             pt, pp = pt[first], pp[first]
         return pt, pp
 
-    def nearest(self, lon, lat):
+    SEG_CHUNK = 2_000_000  # max points×segments distance cells per allocation
+
+    def _feat_dist(self, lon, lat, f: int):
+        """Exact min boundary distance from points to feature f's segments,
+        chunked over segments so a coastline-scale feature never materializes
+        a dense (points × segments) matrix."""
+        s0, s1 = int(self.seg_ptr[f]), int(self.seg_ptr[f + 1])
+        n = len(lon)
+        best = np.full(n, np.inf)
+        if s1 == s0 or n == 0:
+            return best
+        chunk = max(1, self.SEG_CHUNK // max(n, 1))
+        for s in range(s0, s1, chunk):
+            e = min(s + chunk, s1)
+            d = point_seg_dist_deg(lon, lat, self.seg_x1[s:e], self.seg_y1[s:e],
+                                   self.seg_x2[s:e], self.seg_y2[s:e])
+            np.minimum(best, d.min(axis=1), out=best)
+        return best
+
+    def nearest(self, lon, lat, stats: dict | None = None):
         """Nearest feature (by boundary distance) for each of N points.
-        Returns (poly_pos, dist_deg). Brute-force over the broadcast segment
-        set — bounded because the dim table is broadcastable by design."""
+        Returns (poly_pos, dist_deg), identical (including argmin tie-breaks:
+        lowest feature position wins) to a brute-force scan of every segment
+        of every feature.
+
+        Candidate generation is a vectorized bbox branch-and-bound — the
+        continuous form of cell-ring (kring) expansion over the bucket grid:
+        a per-(point, feature) lower bound (scaled distance to the feature's
+        bbox, the same equirectangular metric as point_seg_dist_deg) prunes
+        every feature that provably cannot beat the current best, so exact
+        segment distances are evaluated only for ring-local candidates. Ring
+        hashing via cell_to_feats was rejected for this op because scattered
+        fallback points (the common case: ocean documents) each land in their
+        own bucket and turn the kernel into a per-point Python loop; the bbox
+        bound gives the same ≪-total-segments candidate sets with one numpy
+        pass. `stats` (optional dict) receives segments_evaluated /
+        total_segment_pairs / features_evaluated for the candidate-reduction
+        tests."""
+        lon = np.atleast_1d(np.asarray(lon, dtype=np.float64))
+        lat = np.atleast_1d(np.asarray(lat, dtype=np.float64))
+        n = len(lon)
+        n_feat = len(self.polygons)
+        pos = np.zeros(n, dtype=np.int64)
+        best = np.full(n, np.inf)
+        if n == 0 or n_feat == 0:
+            return pos, best
+        scale = np.cos(np.radians(lat))
+        segs_eval = 0
+        feats_eval = 0
+        pt_chunk = max(1, 4_000_000 // max(n_feat, 1))
+        for c0 in range(0, n, pt_chunk):
+            sl = slice(c0, min(c0 + pt_chunk, n))
+            plon, plat, sc = lon[sl], lat[sl], scale[sl]
+            m = len(plon)
+            # scaled lower-bound distance to each feature's bbox (0 inside)
+            dlon = np.maximum(0.0, np.maximum(
+                self.bb_lon_min[None, :] - plon[:, None],
+                plon[:, None] - self.bb_lon_max[None, :])) * sc[:, None]
+            dlat = np.maximum(0.0, np.maximum(
+                self.bb_lat_min[None, :] - plat[:, None],
+                plat[:, None] - self.bb_lat_max[None, :]))
+            lb = np.hypot(dlon, dlat)  # (m, n_feat)
+            bbest = np.full(m, np.inf)
+            bpos = np.zeros(m, dtype=np.int64)
+            # seed upper bounds: exact distance to each point's min-lb feature
+            seed = lb.argmin(axis=1)
+            for f in np.unique(seed):
+                pts = np.flatnonzero(seed == f)
+                d = self._feat_dist(plon[pts], plat[pts], int(f))
+                bbest[pts] = d
+                bpos[pts] = f
+                segs_eval += len(pts) * int(self.seg_ptr[f + 1] - self.seg_ptr[f])
+                feats_eval += 1
+            # refine: ascending feature order preserves argmin tie-breaking
+            # (equal distance → lowest position wins, as in a brute argmin)
+            for f in range(n_feat):
+                mask = (lb[:, f] <= bbest) & (bpos != f)
+                if not mask.any():
+                    continue
+                pts = np.flatnonzero(mask)
+                d = self._feat_dist(plon[pts], plat[pts], f)
+                upd = (d < bbest[pts]) | ((d == bbest[pts]) & (f < bpos[pts]))
+                bbest[pts[upd]] = d[upd]
+                bpos[pts[upd]] = f
+                segs_eval += len(pts) * int(self.seg_ptr[f + 1] - self.seg_ptr[f])
+                feats_eval += 1
+            best[sl] = bbest
+            pos[sl] = bpos
+        if stats is not None:
+            stats["segments_evaluated"] = int(segs_eval)
+            stats["total_segment_pairs"] = int(n * len(self.seg_x1))
+            stats["features_evaluated"] = int(feats_eval)
+        return pos, best
+
+    def nearest_bruteforce(self, lon, lat):
+        """Dense (points × all segments) scan — the test baseline for
+        nearest(); never used in production kernels."""
+        lon = np.atleast_1d(np.asarray(lon, dtype=np.float64))
+        lat = np.atleast_1d(np.asarray(lat, dtype=np.float64))
         d = point_seg_dist_deg(lon, lat, self.seg_x1, self.seg_y1,
                                self.seg_x2, self.seg_y2)
-        # min distance per feature, then argmin across features
         n_feat = len(self.polygons)
-        best = np.full((len(np.atleast_1d(lon)), n_feat), np.inf)
+        best = np.full((len(lon), n_feat), np.inf)
         for f in range(n_feat):
             cols = self.seg_feat == f
             if cols.any():
