@@ -96,30 +96,43 @@ class PartitionCheckpointer:
         pending = [k for k in all_keys if k not in done]
         os.makedirs(self.ledger_dir, exist_ok=True)
 
+        prev_overwrite_mode = self.spark.conf.get(
+            "spark.sql.sources.partitionOverwriteMode", "static")
         self.spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
         n_batches = 0
-        for i in range(0, len(pending), batch_size):
-            batch = pending[i:i + batch_size]
-            t0 = time.monotonic()
-            sub = df.filter(F.col(key_col).isin(batch))
-            out = transform(sub)
-            (out.write.mode("overwrite").partitionBy(key_col)
-             .parquet(self.output_dir))
-            wall_ms = (time.monotonic() - t0) * 1000.0
-            # per-partition metrics from the freshly written batch
-            counts = {r[key_col]: r["n"] for r in
-                      (self.spark.read.parquet(self.output_dir)
-                       .filter(F.col(key_col).isin(batch))
-                       .groupBy(key_col).agg(F.count("*").alias("n")).collect())}
-            batch_id = str(uuid.uuid4())
-            ledger_rows = [(int(k), int(counts.get(k, 0)),
-                            float(wall_ms / len(batch)), batch_id) for k in batch]
-            (self.spark.createDataFrame(
-                ledger_rows, "key BIGINT, rows_out BIGINT, wall_ms DOUBLE, batch_id STRING")
-             .coalesce(1).write.mode("append").parquet(self.ledger_dir))
-            n_batches += 1
-            if failpoint_after_batches is not None and n_batches >= failpoint_after_batches:
-                raise RuntimeError(f"failpoint: crashed after {n_batches} batches")
+        try:
+            for i in range(0, len(pending), batch_size):
+                batch = pending[i:i + batch_size]
+                t0 = time.monotonic()
+                sub = df.filter(F.col(key_col).isin(batch))
+                out = transform(sub)
+                # per-partition row counts ride the write itself via
+                # observe() — no extra action, no re-read of the accumulated
+                # output directory (which would be O(batches × total output))
+                from pyspark.sql import Observation
+
+                obs = Observation()
+                out = out.observe(obs, *[
+                    F.count(F.when(F.col(key_col) == k, 1)).alias(f"k{j}")
+                    for j, k in enumerate(batch)])
+                (out.write.mode("overwrite").partitionBy(key_col)
+                 .parquet(self.output_dir))
+                observed = obs.get
+                wall_ms = (time.monotonic() - t0) * 1000.0
+                batch_id = str(uuid.uuid4())
+                ledger_rows = [(int(k), int(observed[f"k{j}"]),
+                                float(wall_ms / len(batch)), batch_id)
+                               for j, k in enumerate(batch)]
+                (self.spark.createDataFrame(
+                    ledger_rows,
+                    "key BIGINT, rows_out BIGINT, wall_ms DOUBLE, batch_id STRING")
+                 .coalesce(1).write.mode("append").parquet(self.ledger_dir))
+                n_batches += 1
+                if failpoint_after_batches is not None and n_batches >= failpoint_after_batches:
+                    raise RuntimeError(f"failpoint: crashed after {n_batches} batches")
+        finally:
+            self.spark.conf.set("spark.sql.sources.partitionOverwriteMode",
+                                prev_overwrite_mode)
         return self.output_dir
 
     def result(self) -> DataFrame:

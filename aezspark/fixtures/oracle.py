@@ -33,6 +33,54 @@ from ..geometry import BoundaryIndex
 from .. import cellindex
 from . import world
 
+
+# --------------------------------------------------------------------------
+# Independent containment check.
+#
+# The oracle shares Polygon/BoundaryIndex with the engine for PIP and kNN, so
+# a bug in geometry.point_in_ring could in principle pass parity undetected
+# (ADVICE r1). Every containment the oracle computes is therefore CROSS-
+# CHECKED against this structurally different implementation: Sunday's
+# nonzero-winding-number algorithm with isLeft orientation tests (per-point
+# loop formulation) instead of the engine's even-odd ray-crossing parity.
+# For the simple (non-self-intersecting) fixture polygons the two must agree
+# everywhere off the boundary; fixtures avoid on-edge points by design.
+# The kNN *distance* path still shares point_seg_dist_deg with the engine —
+# covered by tests/test_geometry_perf.py's brute-force parity and
+# tests/test_core_numpy.py property tests, and documented here honestly.
+# --------------------------------------------------------------------------
+
+def winding_contains(lon, lat, ring_lons, ring_lats):
+    """Nonzero winding number (Sunday's algorithm), vectorized over points."""
+    lon = np.asarray(lon, dtype=np.float64)
+    lat = np.asarray(lat, dtype=np.float64)
+    rx = np.asarray(ring_lons, dtype=np.float64)
+    ry = np.asarray(ring_lats, dtype=np.float64)
+    wn = np.zeros(lon.shape, dtype=np.int64)
+    for i in range(len(rx) - 1):
+        x1, y1, x2, y2 = rx[i], ry[i], rx[i + 1], ry[i + 1]
+        is_left = (x2 - x1) * (lat - y1) - (lon - x1) * (y2 - y1)
+        up = (y1 <= lat) & (y2 > lat) & (is_left > 0)
+        down = (y1 > lat) & (y2 <= lat) & (is_left < 0)
+        wn += up.astype(np.int64) - down.astype(np.int64)
+    return wn != 0
+
+
+def contains_checked(poly, lon, lat):
+    """Engine containment, cross-checked against the independent winding
+    test (holes subtracted the same way). Raises on any disagreement."""
+    got = poly.contains(lon, lat)
+    ref = winding_contains(lon, lat, poly.ring_lons, poly.ring_lats)
+    for hx, hy in zip(poly.hole_lons, poly.hole_lats):
+        ref &= ~winding_contains(lon, lat, hx, hy)
+    if (got != ref).any():
+        n = int((got != ref).sum())
+        raise AssertionError(
+            f"containment disagreement on {n} points for feature "
+            f"{poly.feature_id} ({poly.country}): even-odd ray crossing vs "
+            f"winding number — geometry.point_in_ring is suspect")
+    return got
+
 KG_CLASSES = ['Af', 'Am', 'Aw', 'BWh', 'BWk', 'BSh', 'BSk', 'Csa', 'Csb', 'Csc',
               'Cwa', 'Cwb', 'Cwc', 'Cfa', 'Cfb', 'Cfc', 'Dsa', 'Dsb', 'Dsc', 'Dsd',
               'Dwa', 'Dwb', 'Dwc', 'Dwd', 'Dfa', 'Dfb', 'Dfc', 'Dfd', 'ET', 'EF']
@@ -172,8 +220,8 @@ class DenseWorld:
         lon_cg, lat_cg = np.meshgrid(lon_c, lat_c)
         lon_fg, lat_fg = np.meshgrid(lon_f, lat_f)
         for poly in world.polygons():
-            mc = poly.contains(lon_cg.ravel(), lat_cg.ravel()).reshape(coarse.ny, coarse.nx)
-            mf = poly.contains(lon_fg.ravel(), lat_fg.ravel()).reshape(fine.ny, fine.nx)
+            mc = contains_checked(poly, lon_cg.ravel(), lat_cg.ravel()).reshape(coarse.ny, coarse.nx)
+            mf = contains_checked(poly, lon_fg.ravel(), lat_fg.ravel()).reshape(fine.ny, fine.nx)
             self.features.append((poly.feature_id, poly.country, mc, mf))
         self.countries = sorted({c for _f, c, _mc, _mf in self.features})
 
@@ -406,8 +454,19 @@ def doc_assignment(fx_dir: str, index_res: int, tiles: pd.DataFrame,
     pts = doc_points(fx_dir)
     polys = world.polygons()
     bidx = BoundaryIndex(polys)
-    pt_i, poly_pos = bidx.pip(pts["lon"].to_numpy(), pts["lat"].to_numpy(),
-                              many_to_many=True)
+    lonv = pts["lon"].to_numpy()
+    latv = pts["lat"].to_numpy()
+    pt_i, poly_pos = bidx.pip(lonv, latv, many_to_many=True)
+    # cross-check the full PIP match set (bucket prefilter + ring test)
+    # against the independent winding containment — validates both
+    # point_in_ring and the candidate-generation completeness
+    for pos, poly in enumerate(polys):
+        expected = np.flatnonzero(contains_checked(poly, lonv, latv))
+        got = np.sort(pt_i[poly_pos == pos])
+        if not np.array_equal(expected, got):
+            raise AssertionError(
+                f"BoundaryIndex.pip match set differs from independent "
+                f"containment for feature {poly.feature_id}")
     fids = bidx.feature_ids()
     countries = bidx.countries()
     matched = pts.iloc[pt_i].reset_index(drop=True)

@@ -30,7 +30,14 @@ def rollup(long_df: DataFrame, regions_dim: DataFrame,
            .agg(F.sum("km2").alias("km2")))
     reg = spark.createDataFrame([(r,) for r in REGIONS], "region STRING")
     cls = spark.createDataFrame([(c,) for c in classes], "class STRING")
-    return (reg.crossJoin(cls)
-            .join(agg, ["region", "class"], "left")
-            .select("region", "class",
-                    F.coalesce(F.col("km2"), F.lit(0.0)).alias("km2")))
+    # full outer + raise_error: a membership row naming a region outside the
+    # fixed 9 must fail loudly (the reference's df_region.loc[list] raises
+    # KeyError on an unknown region), not silently vanish from the rollup
+    joined = (reg.crossJoin(cls).withColumn("_expected", F.lit(True))
+              .join(agg, ["region", "class"], "full_outer"))
+    km2 = (F.when(F.col("_expected").isNotNull(),
+                  F.coalesce(F.col("km2"), F.lit(0.0)))
+           .otherwise(F.raise_error(F.concat(
+               F.lit("rollup: region outside the fixed region list: "),
+               F.col("region"))).cast("double")))
+    return joined.select("region", "class", km2.alias("km2"))

@@ -28,13 +28,24 @@ DEG56_CLASSES = [f"{c}:{s}:{d}" for c in ['forest', 'cropland', 'grassland', 'ba
 def seed_zeros(agg: DataFrame, countries: DataFrame, classes: list[str]) -> DataFrame:
     """Pre-seed every (country, class) combination with 0.0 — the reference
     inserts an all-zero row per country on first sight and keeps every class
-    column (extract_country_data.py:216,227-228), so zero cells must exist."""
+    column (extract_country_data.py:216,227-228), so zero cells must exist.
+
+    A full outer join makes aggregated labels OUTSIDE the expected class/
+    country set fail loudly (raise_error) instead of silently shrinking the
+    totals — the reference would KeyError on an unexpected label
+    (df.loc[admin, typ] raises), so a decoder regression must not pass
+    parity by dropping rows."""
     spark = agg.sparkSession
     cls = spark.createDataFrame([(c,) for c in classes], "class STRING")
-    grid_dim = countries.crossJoin(cls)
-    return (grid_dim.join(agg, ["country", "class"], "left")
-            .select("country", "class",
-                    F.coalesce(F.col("km2"), F.lit(0.0)).alias("km2")))
+    grid_dim = countries.crossJoin(cls).withColumn("_expected", F.lit(True))
+    joined = grid_dim.join(agg, ["country", "class"], "full_outer")
+    km2 = (F.when(F.col("_expected").isNotNull(),
+                  F.coalesce(F.col("km2"), F.lit(0.0)))
+           .otherwise(F.raise_error(F.concat(
+               F.lit("seed_zeros: aggregated label outside the expected "
+                     "(country, class) grid: "),
+               F.col("country"), F.lit(" / "), F.col("class"))).cast("double")))
+    return joined.select("country", "class", km2.alias("km2"))
 
 
 def _finish(df: DataFrame, countries: DataFrame, classes: list[str],
