@@ -125,6 +125,37 @@ def _flagship_smj(spark, n_docs: int):
     return out.agg(F.sum("n_docs")).collect()[0][0]
 
 
+def _flagship_stages(spark, n_docs: int) -> dict:
+    """Per-stage wall breakdown of the flagship (BENCH_STAGES=1): each prefix
+    of the pipeline is executed as its own action, so stage cost = delta.
+    Re-executing the prefix means later deltas exclude nothing — deltas are
+    upper bounds on the added stage's cost, the honest decomposition without
+    caching intermediates (which would change the measured plan)."""
+    from pyspark.sql import functions as F
+
+    from aezspark import documents as docs_mod
+    from aezspark.joins import assign_points
+
+    w, tl = _WORLD_CACHE[id(spark)]
+    docs = w.documents()
+    out = {}
+    t0 = time.monotonic()
+    pts = docs_mod.indexed_points(docs)
+    pts.count()
+    t1 = time.monotonic()
+    out["scan_parse_index_s"] = round(t1 - t0, 2)
+    enriched = assign_points(pts, w.bidx, tile_lookup=tl, fine=w.fine,
+                             project=["doc_id"])
+    enriched.count()
+    t2 = time.monotonic()
+    out["pip_knn_tile_kernel_s"] = round((t2 - t1) - (t1 - t0), 2)
+    docs_mod.doc_zone_counts(enriched).agg(F.sum("n_docs")).collect()
+    t3 = time.monotonic()
+    out["distinct_zonal_agg_s"] = round((t3 - t2) - (t2 - t1), 2)
+    out["full_pipeline_s"] = round(t3 - t2, 2)
+    return out
+
+
 def _aez(spark, fx):
     from aezspark.pipelines import World
 
@@ -231,6 +262,8 @@ def main():
             if "flagship_docs" in queries else None,
         },
     }
+    if os.environ.get("BENCH_STAGES") and "flagship_docs" in queries:
+        result["extras"]["stages"] = _flagship_stages(spark, n_docs)
     print(json.dumps(result))
 
 
