@@ -327,6 +327,23 @@ def q_fingerprint(spark, sf_dir):
     return corpus.fingerprint(_t(spark, sf_dir, "documents"))
 
 
+def q_neardup_clusters(spark, sf_dir):
+    """Connected components over the LSH candidate pairs: cluster_id = min
+    doc_id of the component (iterative min-label propagation; oracle is a
+    recursive-CTE transitive closure)."""
+    sh = corpus.char_shingles(_t(spark, sf_dir, "documents"))
+    pairs = corpus.lsh_candidate_pairs(corpus.lsh_buckets(corpus.minhash_signatures(sh)))
+    return corpus.neardup_clusters(pairs)
+
+
+def q_token_freq_topk(spark, sf_dir):
+    return corpus.token_freq_topk(_t(spark, sf_dir, "documents"))
+
+
+def q_doc_top_term(spark, sf_dir):
+    return corpus.doc_top_term(_t(spark, sf_dir, "documents"))
+
+
 def _query_vec(spark, sf_dir):
     row = (_t(spark, sf_dir, "embeddings").filter(F.col("vec_id") == 0)
            .select("embedding").collect()[0])
@@ -494,6 +511,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_score": q_quality_score,
         "token_counts": q_token_counts,
         "fingerprint": q_fingerprint,
+        "neardup_clusters": q_neardup_clusters,
+        "token_freq_topk": q_token_freq_topk,
+        "doc_top_term": q_doc_top_term,
         "embedding_neardup": q_embedding_neardup,
         "cosine_topk": q_cosine_topk,
         "ann_buckets": q_ann_buckets,
@@ -784,6 +804,34 @@ def oracle_sql() -> dict[str, str]:
                    array_to_string((array_agg(DISTINCT md5(shingle)
                        ORDER BY md5(shingle)))[1:4], ',') AS fingerprint
             FROM shingles GROUP BY doc_id""",
+        "neardup_clusters": f"""WITH RECURSIVE {_PAIRS_CTE.lstrip()},
+            edges AS (SELECT doc_a AS s, doc_b AS d FROM pairs
+                      UNION ALL SELECT doc_b, doc_a FROM pairs),
+            closure AS (
+                SELECT s AS node, d AS reach FROM edges
+                UNION
+                SELECT c.node, e.d FROM closure c JOIN edges e ON e.s = c.reach)
+            SELECT node AS doc_id, least(node, min(reach)) AS cluster_id
+            FROM closure GROUP BY node""",
+        "token_freq_topk": """
+            SELECT token, CAST(count(*) AS BIGINT) AS n
+            FROM (SELECT unnest(string_split(lower(text), ' ')) AS token
+                  FROM documents)
+            WHERE token <> ''
+            GROUP BY token ORDER BY n DESC, token ASC LIMIT 50""",
+        "doc_top_term": """
+            WITH terms AS (
+                SELECT doc_id, unnest(string_split(lower(text), ' ')) AS token
+                FROM documents),
+            t AS (SELECT doc_id, token, CAST(count(*) AS BIGINT) AS tf
+                  FROM terms WHERE token <> '' GROUP BY doc_id, token),
+            d AS (SELECT token, CAST(count(DISTINCT doc_id) AS BIGINT) AS df
+                  FROM terms WHERE token <> '' GROUP BY token)
+            SELECT doc_id, token AS top_term, tf, df FROM (
+                SELECT t.doc_id, t.token, t.tf, d.df,
+                       row_number() OVER (PARTITION BY t.doc_id
+                           ORDER BY t.tf DESC, d.df ASC, t.token ASC) AS rn
+                FROM t JOIN d ON d.token = t.token) WHERE rn = 1""",
         "embedding_neardup": f"""
             WITH bk AS ({_ann_bucket_sql(3)}),
             e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v

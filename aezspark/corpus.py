@@ -235,6 +235,78 @@ def embedding_neardup_pairs(embeddings: DataFrame, planes: list[list[float]],
             .select("vec_a", "vec_b", F.round("cosine", 6).alias("cosine")))
 
 
+def neardup_clusters(pairs: DataFrame, max_iters: int = 20) -> DataFrame:
+    """Connected components over candidate pairs → (doc_id, cluster_id),
+    cluster_id = min doc_id of the component (deterministic, engine-portable
+    string min). This is the step real dedup pipelines need after LSH: pair
+    lists don't dedupe a corpus, cluster → canonical assignments do.
+
+    Algorithm: iterative min-label propagation (label(v) ← min(label(v),
+    min over neighbors)) to fixpoint — O(component diameter) joins; LSH
+    candidate components are near-cliques, so convergence is 2-3 rounds in
+    practice. Each round is a shuffle join on the edge list; lineage is cut
+    per round with localCheckpoint so the plan doesn't grow. At 10⁹ docs this
+    is the standard alternating-star CC shape; the oracle is a DuckDB
+    recursive-CTE transitive closure over the same pairs."""
+    edges = pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+    edges = edges.unionByName(
+        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))).cache()
+    labels = (edges.select(F.col("src").alias("node")).distinct()
+              .withColumn("label", F.col("node")))
+    for _ in range(max_iters):
+        nbr = (edges.join(labels.select(F.col("node").alias("dst"),
+                                        F.col("label").alias("dst_label")), "dst")
+               .groupBy("src").agg(F.min("dst_label").alias("nbr_label")))
+        new_labels = (labels.join(nbr, labels.node == nbr.src, "left")
+                      .select(labels.node,
+                              F.least(F.col("label"),
+                                      F.coalesce("nbr_label", "label")).alias("label"))
+                      .localCheckpoint())
+        changed = (new_labels.alias("n")
+                   .join(labels.alias("o"), "node")
+                   .filter(F.col("n.label") != F.col("o.label")).count())
+        labels = new_labels
+        if changed == 0:
+            break
+    edges.unpersist()
+    return labels.select(F.col("node").alias("doc_id"),
+                         F.col("label").alias("cluster_id"))
+
+
+def token_freq_topk(docs: DataFrame, text_col: str = "text", k: int = 50) -> DataFrame:
+    """Global token frequency top-k (the vocabulary head a tokenizer trainer
+    wants first). Deterministic total order: count DESC, token ASC — the same
+    top-k on every engine. explode → groupBy: map-side partial aggregation
+    absorbs the hot tokens; the final orderBy+limit is a TakeOrdered."""
+    tok = F.explode(F.split(F.lower(F.col(text_col)), " ")).alias("token")
+    return (docs.select(tok)
+            .filter(F.col("token") != "")
+            .groupBy("token").agg(F.count("*").alias("n"))
+            .orderBy(F.col("n").desc(), F.col("token").asc())
+            .limit(k))
+
+
+def doc_top_term(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Per-document keyword: the term with the highest in-doc frequency,
+    ties broken by LOWER corpus document frequency (rarer ⇒ more specific),
+    then lexicographically — an integer-only TF-IDF-style argmax that is
+    bit-portable across engines (no float idf in the ordering)."""
+    from pyspark.sql import Window as W
+
+    terms = (docs.select("doc_id",
+                         F.explode(F.split(F.lower(F.col(text_col)), " ")).alias("token"))
+             .filter(F.col("token") != ""))
+    tf = terms.groupBy("doc_id", "token").agg(F.count("*").alias("tf"))
+    df_ = (terms.select("doc_id", "token").distinct()
+           .groupBy("token").agg(F.count("*").alias("df")))
+    w = W.partitionBy("doc_id").orderBy(F.col("tf").desc(), F.col("df").asc(),
+                                        F.col("token").asc())
+    return (tf.join(df_, "token")
+            .withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select("doc_id", F.col("token").alias("top_term"), "tf", "df"))
+
+
 # ---------------------------------------------------------- text analysis
 
 EN_STOPWORDS = ["the", "and", "of", "to", "in", "that", "is", "on", "for", "with"]

@@ -47,6 +47,13 @@ def get_spark(app: str = "aezspark", master: str | None = None,
          .config("spark.driver.extraJavaOptions",
                  os.environ.get("AEZSPARK_JAVA_OPTS", "-XX:+UseParallelGC"))
          .config("spark.ui.enabled", "false"))
+    # smaller scan splits even out task waves on small-core local runs
+    # (e.g. a 1.4 GB corpus is 11 default splits → quantized to 2 waves on
+    # 8 cores; 32 MB → 44 splits balances). Cluster deployments leave the
+    # 128 MB default.
+    mpb = os.environ.get("AEZSPARK_MAX_PARTITION_BYTES")
+    if mpb:
+        b = b.config("spark.sql.files.maxPartitionBytes", mpb)
     spark = b.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     return spark

@@ -1,0 +1,32 @@
+"""Connected-components dedup clustering: planted components must resolve to
+min-doc_id labels regardless of edge orientation or chain length."""
+
+from aezspark import corpus
+
+
+def test_clusters_resolve_chains_and_stars(spark):
+    # component 1: chain a-b-c-d (diameter 3 — needs >1 propagation round)
+    # component 2: star f<-{g,h}
+    # component 3: single edge x-y
+    pairs = spark.createDataFrame(
+        [("b", "a"), ("b", "c"), ("c", "d"),
+         ("g", "f"), ("h", "f"),
+         ("x", "y")],
+        "doc_a STRING, doc_b STRING")
+    got = {r.doc_id: r.cluster_id
+           for r in corpus.neardup_clusters(pairs).collect()}
+    assert got == {"a": "a", "b": "a", "c": "a", "d": "a",
+                   "f": "f", "g": "f", "h": "f",
+                   "x": "x", "y": "x"}
+
+
+def test_clusters_long_chain_converges(spark):
+    # 12-node chain: worst-case diameter for label propagation
+    nodes = [f"n{i:02d}" for i in range(12)]
+    pairs = spark.createDataFrame(
+        [(nodes[i + 1], nodes[i]) for i in range(11)],
+        "doc_a STRING, doc_b STRING")
+    got = {r.doc_id: r.cluster_id
+           for r in corpus.neardup_clusters(pairs).collect()}
+    assert set(got.values()) == {"n00"}
+    assert len(got) == 12
