@@ -380,6 +380,28 @@ def q_ann_topk(spark, sf_dir):
             .select("vec_id", _r(F.col("cosine"), 6).alias("cosine")))
 
 
+def q_ivf_assign(spark, sf_dir):
+    emb = _t(spark, sf_dir, "embeddings")
+    return corpus.ivf_assign(emb, corpus.ivf_centroids(64, 8))
+
+
+def q_ivf_topk(spark, sf_dir):
+    emb = _t(spark, sf_dir, "embeddings")
+    q = _query_vec(spark, sf_dir)
+    return (corpus.ivf_topk(emb, q, corpus.ivf_centroids(64, 8), k=10)
+            .select("vec_id", _r(F.col("cosine"), 6).alias("cosine")))
+
+
+def q_media_frame_sample(spark, sf_dir):
+    """Multimodal row expansion: video spans → deterministic frame rows
+    (real Arrow 1→N plumbing; fake payload — no codecs in this container)."""
+    w = _world(spark)
+    media = corpus.media_spans(w.documents())
+    return corpus.frame_sample_stub(media).select(
+        "doc_id", "span_idx", "media_id", "frame_idx",
+        _r(F.col("frame_digest"), 6).alias("frame_digest"))
+
+
 def q_media_features(spark, sf_dir):
     """Multimodal plumbing: media spans of the interleaved fixture corpus →
     Arrow-batched decode stub → scalar feature digests."""
@@ -518,7 +540,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cosine_topk": q_cosine_topk,
         "ann_buckets": q_ann_buckets,
         "ann_topk": q_ann_topk,
+        "ivf_assign": q_ivf_assign,
+        "ivf_topk": q_ivf_topk,
         "media_features": q_media_features,
+        "media_frame_sample": q_media_frame_sample,
         # spatial engine
         "sp_assignment": q_sp_assignment,
         "sp_zonal_wk": q_sp_zonal_wk,
@@ -598,6 +623,23 @@ def _ann_bucket_sql(num_planes: int = 8) -> str:
     return ("SELECT vec_id, CAST(" + terms + " AS BIGINT) AS bucket FROM "
             "(SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ev"
             " FROM embeddings)")
+
+
+def _ivf_assign_sql() -> str:
+    cents = corpus.ivf_centroids(64, 8)
+    lits = ["[" + ", ".join(f"{v:.17g}" for v in row) + "]" for row in cents]
+    dots = ", ".join(f"list_dot_product(ev, {p}) AS d{i}"
+                     for i, p in enumerate(lits))
+    m = "greatest(" + ", ".join(f"d{i}" for i in range(8)) + ")"
+    # descending CASE = ties go to the HIGHER centroid id, matching the
+    # Spark side's sort_array(desc) over (dot, id) structs
+    case = " ".join(f"WHEN d{i} = m THEN {i}" for i in range(7, -1, -1))
+    return (f"SELECT vec_id, CAST(CASE {case} END AS INT) AS centroid_id "
+            f"FROM (SELECT vec_id, {m} AS m, "
+            + ", ".join(f"d{i}" for i in range(8)) +
+            f" FROM (SELECT vec_id, {dots} FROM "
+            "(SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE))"
+            " AS ev FROM embeddings)))")
 
 
 _KM2_SQL = """
@@ -854,6 +896,27 @@ def oracle_sql() -> dict[str, str]:
                          "WHERE b.bucket = qb.bucket)"),
             lead_ctes=(f"bk AS ({_ann_bucket_sql()}),\n"
                        "qb AS (SELECT bucket FROM bk WHERE vec_id = 0),\n")),
+        "ivf_assign": _ivf_assign_sql(),
+        "ivf_topk": _emb_cosine_sql(
+            extra_where=("WHERE vec_id IN (SELECT a.vec_id FROM ca a, qc "
+                         "WHERE a.centroid_id = qc.centroid_id)"),
+            lead_ctes=(f"ca AS ({_ivf_assign_sql()}),\n"
+                       "qc AS (SELECT centroid_id FROM ca WHERE vec_id = 0),\n")),
+        "media_frame_sample": f"""
+            SELECT doc_id, CAST(i - 1 AS INT) AS span_idx, mid AS media_id,
+                   CAST(f AS INT) AS frame_idx,
+                   round(CAST((mid * 31 + f * 7) % 97 AS DOUBLE) / 97.0, 6)
+                       AS frame_digest
+            FROM (SELECT doc_id, i,
+                         CAST(regexp_extract(s.media_ref,
+                              'media://(\\w+)/(\\d+)', 2) AS BIGINT) AS mid
+                  FROM (SELECT doc_id, i, spans[i] AS s
+                        FROM {fx_docs},
+                             unnest(generate_series(1, len(spans))) AS t(i))
+                  WHERE s.kind = 'media'
+                    AND regexp_extract(s.media_ref,
+                        'media://(\\w+)/(\\d+)', 1) = 'vid'),
+                 unnest(generate_series(0, mid % 3 + 1)) AS ff(f)""",
         "media_features": f"""
             SELECT doc_id, CAST(i - 1 AS INT) AS span_idx,
                    regexp_extract(s.media_ref, 'media://(\\w+)/(\\d+)', 1) AS modality,

@@ -370,6 +370,51 @@ def fingerprint(docs: DataFrame, text_col: str = "text", k: int = 8,
                  .alias("fingerprint")))
 
 
+def ivf_centroids(dim: int, k: int = 8) -> list[list[float]]:
+    """Deterministic IVF coarse centroids from md5 nibbles, driver-side
+    literals injected into both the Spark plan and the oracle SQL. Production
+    swaps in k-means-trained centroids the same way (training is an offline
+    job; the query-path plan shape — assign → partition-restricted exact
+    search — is what this exercises)."""
+    cents = []
+    for c in range(k):
+        row = []
+        for d in range(dim):
+            h = hashlib.md5(f"centroid:{c}:{d}".encode()).hexdigest()
+            row.append((int(h[:2], 16) - 127.5) / 127.5)
+        cents.append(row)
+    return cents
+
+
+def ivf_assign(embeddings: DataFrame, centroids: list[list[float]]) -> DataFrame:
+    """IVF list assignment: each vector goes to its max-dot-product coarse
+    centroid (ties → higher centroid id; exact fp ties are avoided by the
+    irrational-ish centroid coordinates). At 100 TB the centroid id is the
+    partition key — queries touch one list (or nprobe lists), not the corpus."""
+    entries = F.array(*[
+        F.struct(_dot(F.col("embedding"), c).alias("d"),
+                 F.lit(i).alias("i"))
+        for i, c in enumerate(centroids)])
+    top = F.sort_array(entries, asc=False)[0]
+    return embeddings.select("vec_id", top["i"].alias("centroid_id"))
+
+
+def ivf_topk(embeddings: DataFrame, query_vec: list[float],
+             centroids: list[list[float]], k: int = 10) -> DataFrame:
+    """IVF single-probe ANN top-k: restrict the exact cosine scan to the
+    query's coarse list. Complements ann_topk (sign-LSH buckets) with the
+    inverted-file shape; recall grows with nprobe (out of scope here — the
+    oracle pins single-probe)."""
+    best, qc = None, 0
+    for i, c in enumerate(centroids):
+        d = sum(a * b for a, b in zip(query_vec, c))
+        if best is None or d > best or (d == best and i > qc):
+            best, qc = d, i
+    members = ivf_assign(embeddings, centroids).filter(F.col("centroid_id") == qc)
+    cand = embeddings.join(members.select("vec_id"), "vec_id")
+    return cosine_topk(cand, query_vec, k)
+
+
 # ------------------------------------------------------------- multimodal
 
 MEDIA_FEATURE_DIM = 4
@@ -419,6 +464,50 @@ def decode_media_stub(media: DataFrame) -> DataFrame:
                 "span_idx": pdf["span_idx"].astype("int32"),
                 "modality": pdf["modality"],
                 "features": _fake_features(mid),
+            })
+
+    return media.mapInPandas(kernel, schema)
+
+
+def frame_sample_stub(media: DataFrame, modality: str = "vid") -> DataFrame:
+    """Video frame sampling with REAL row-expansion plumbing and a FAKE
+    deterministic payload (no video codecs in this container — swap the
+    per-frame digest for a real decoder; the Arrow batch shape, schema, and
+    1→N expansion are the production-relevant parts).
+
+    Each '{modality}' span yields n_frames = media_id % 3 + 2 rows with a
+    per-frame scalar digest = ((media_id * 31 + frame_idx * 7) % 97) / 97.
+    Expansion is vectorized (np.repeat + tiled aranges), never per-row."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    schema = T.StructType([
+        T.StructField("doc_id", T.StringType()),
+        T.StructField("span_idx", T.IntegerType()),
+        T.StructField("media_id", T.LongType()),
+        T.StructField("frame_idx", T.IntegerType()),
+        T.StructField("frame_digest", T.DoubleType()),
+    ])
+
+    def kernel(batches):
+        for pdf in batches:
+            pdf = pdf[pdf["modality"] == modality]
+            if not len(pdf):
+                continue
+            mid = pdf["media_id"].to_numpy(dtype=np.int64)
+            n_frames = (mid % 3 + 2).astype(np.int64)
+            rep = np.repeat(np.arange(len(pdf)), n_frames)
+            # frame_idx = 0..n-1 within each span, vectorized
+            offsets = np.concatenate(([0], np.cumsum(n_frames)))[:-1]
+            fidx = (np.arange(int(n_frames.sum())) - np.repeat(offsets, n_frames))
+            mrep = mid[rep]
+            yield pd.DataFrame({
+                "doc_id": pdf["doc_id"].to_numpy()[rep],
+                "span_idx": pdf["span_idx"].to_numpy()[rep].astype("int32"),
+                "media_id": mrep,
+                "frame_idx": fidx.astype("int32"),
+                "frame_digest": ((mrep * 31 + fidx * 7) % 97) / 97.0,
             })
 
     return media.mapInPandas(kernel, schema)
