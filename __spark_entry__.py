@@ -402,6 +402,39 @@ def q_media_frame_sample(spark, sf_dir):
         _r(F.col("frame_digest"), 6).alias("frame_digest"))
 
 
+def q_streaming_dedup(spark, sf_dir):
+    """Custom stateful streaming op (applyInPandasWithState): exact dedup
+    across micro-batches over the fixture corpus replayed as file drops.
+    Non-SQL-expressible (streaming state) → no oracle entry; the driver
+    records the rows-only check. Deterministic: single availableNow pass,
+    one emission per distinct leading-span text."""
+    import shutil
+    import tempfile
+
+    from aezspark import streaming as st_mod
+
+    work = tempfile.mkdtemp(prefix="aezspark_streamdedup_")
+    in_dir = os.path.join(work, "in")
+    out_dir = os.path.join(work, "out")
+    os.makedirs(in_dir)
+    w = _world(spark)
+    w.documents().coalesce(2).write.mode("overwrite").parquet(
+        os.path.join(work, "stage"))
+    for i, f in enumerate(sorted(os.listdir(os.path.join(work, "stage")))):
+        if f.endswith(".parquet"):
+            shutil.move(os.path.join(work, "stage", f),
+                        os.path.join(in_dir, f"drop_{i}.parquet"))
+    q = (st_mod.streaming_exact_dedup(
+            st_mod.stream_documents(spark, in_dir, max_files_per_trigger=1))
+         .writeStream.format("parquet")
+         .option("path", out_dir)
+         .option("checkpointLocation", os.path.join(work, "ckpt"))
+         .trigger(availableNow=True)
+         .start())
+    q.awaitTermination(300)
+    return spark.read.parquet(out_dir).orderBy("text_hash")
+
+
 def q_media_features(spark, sf_dir):
     """Multimodal plumbing: media spans of the interleaved fixture corpus →
     Arrow-batched decode stub → scalar feature digests."""
@@ -544,6 +577,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ivf_topk": q_ivf_topk,
         "media_features": q_media_features,
         "media_frame_sample": q_media_frame_sample,
+        "streaming_dedup": q_streaming_dedup,
         # spatial engine
         "sp_assignment": q_sp_assignment,
         "sp_zonal_wk": q_sp_zonal_wk,

@@ -66,6 +66,54 @@ def enrich_stream(docs_stream: DataFrame, bidx, tile_lookup, fine,
             .trigger(availableNow=True))
 
 
+def streaming_exact_dedup(docs_stream: DataFrame):
+    """Custom STATEFUL streaming operator (applyInPandasWithState): exact
+    dedup across micro-batches. State per text-hash group = the canonical
+    (first-seen) doc_id; later arrivals of the same text emit nothing. This
+    is the streaming form of corpus.exact_dedup — at 100 TB the state store
+    shards by the hash key across executors, and only first-sightings flow
+    downstream.
+
+    Emits (text_hash, canonical_doc_id) once per newly-seen hash. Determinism
+    within a micro-batch: the lexicographically smallest doc_id of the batch
+    group wins (matches exact_dedup's min(doc_id) semantics); across batches,
+    first batch wins (arrival order — inherent to streaming)."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    hashed = docs_stream.select(
+        F.md5(F.col("spans")[0]["text"]).alias("text_hash"), "doc_id")
+
+    out_schema = T.StructType([
+        T.StructField("text_hash", T.StringType()),
+        T.StructField("canonical_doc_id", T.StringType()),
+    ])
+    state_schema = T.StructType([
+        T.StructField("canonical_doc_id", T.StringType()),
+    ])
+
+    def dedup_fn(key, pdfs, state: GroupState):
+        if state.exists:
+            # hash already seen in a previous batch: consume, emit nothing
+            for _ in pdfs:
+                pass
+            return iter(())
+        best = None
+        for pdf in pdfs:
+            if len(pdf):
+                m = pdf["doc_id"].min()
+                best = m if best is None else min(best, m)
+        if best is None:
+            return iter(())
+        state.update((best,))
+        return iter([pd.DataFrame({"text_hash": [key[0]],
+                                   "canonical_doc_id": [best]})])
+
+    return (hashed.groupBy("text_hash")
+            .applyInPandasWithState(dedup_fn, out_schema, state_schema,
+                                    "append", GroupStateTimeout.NoTimeout))
+
+
 def read_zone_counts(spark: SparkSession, out_dir: str) -> DataFrame:
     """Merged view over the per-batch appends (a doc may appear in one batch
     only — file-source semantics — so summing is exact)."""
