@@ -478,7 +478,12 @@ def doc_assignment(fx_dir: str, index_res: int, tiles: pd.DataFrame,
     unmatched_mask[np.unique(pt_i)] = False
     un = pts[unmatched_mask].reset_index(drop=True)
     if len(un):
-        pos, _d = bidx.nearest(un["lon"].to_numpy(), un["lat"].to_numpy())
+        # dense brute-force scan, NOT the engine's branch-and-bound nearest —
+        # keeps the oracle's kNN structurally independent of the production
+        # candidate-generation path (parity between the two is separately
+        # pinned by tests/test_geometry_perf.py)
+        pos, _d = bidx.nearest_bruteforce(un["lon"].to_numpy(),
+                                          un["lat"].to_numpy())
         un["feature_id"] = fids[pos].astype(np.int32)
         un["country"] = countries[pos]
         un["method"] = "knn"
