@@ -525,6 +525,19 @@ def q_sp_knn_fallback(spark, sf_dir):
             .select("doc_id", "span_idx", "feature_id", "country"))
 
 
+def q_sp_within_distance(spark, sf_dir):
+    """Spatial range join: geo spans within 4° (scaled) of each feature's
+    boundary, or inside it (dist 0) — many-to-many buffer query."""
+    from aezspark.joins import within_distance_join
+
+    w = _world(spark)
+    pts = docs_mod.geo_points(w.documents())
+    return within_distance_join(pts, w.bidx, 4.0,
+                                project=["doc_id", "span_idx"]).select(
+        "doc_id", "span_idx", "feature_id", "country",
+        F.col("dist_deg").cast("double").alias("dist_deg"))
+
+
 def q_sp_doc_zone_counts(spark, sf_dir):
     return (docs_mod.doc_zone_counts(_doc_assignment(spark))
             .select("country", "aez_code", "n_docs"))
@@ -592,6 +605,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sp_tiles": q_sp_tiles,
         "sp_doc_assignment": q_sp_doc_assignment,
         "sp_knn_fallback": q_sp_knn_fallback,
+        "sp_within_distance": q_sp_within_distance,
         "sp_doc_zone_counts": q_sp_doc_zone_counts,
     }
 
@@ -983,6 +997,10 @@ def oracle_sql() -> dict[str, str]:
         "sp_knn_fallback": f"""SELECT doc_id, CAST(span_idx AS INT) AS span_idx,
                    CAST(feature_id AS INT) AS feature_id, country
                    FROM {_exp('doc_assignment')} WHERE method = 'knn'""",
+        "sp_within_distance": f"""SELECT doc_id, CAST(span_idx AS INT) AS span_idx,
+                   CAST(feature_id AS INT) AS feature_id, country,
+                   CAST(dist_deg AS DOUBLE) AS dist_deg
+                   FROM {_exp('doc_within')}""",
         "sp_doc_zone_counts": f"""
             SELECT country, CAST(aez_code AS INT) AS aez_code,
                    CAST(count(*) AS BIGINT) AS n_docs

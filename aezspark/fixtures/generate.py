@@ -208,7 +208,7 @@ def ensure_fixtures(out_dir: str = DEFAULT_DIR, coarse_px: float = 2.5,
     """Idempotently generate the fixture world (and, optionally, the numpy
     oracle's expected_* outputs) into out_dir. Returns out_dir."""
     params = {"seed": SEED, "coarse_px": coarse_px, "n_docs": n_docs,
-              "with_expected": with_expected, "v": 8}
+              "with_expected": with_expected, "v": 9}
     manifest = os.path.join(out_dir, "manifest.json")
     if os.path.exists(manifest):
         with open(manifest) as f:

@@ -498,6 +498,32 @@ def doc_assignment(fx_dir: str, index_res: int, tiles: pd.DataFrame,
     return out.sort_values(["doc_id", "span_idx", "feature_id"]).reset_index(drop=True)
 
 
+def doc_within_distance(fx_dir: str, d_deg: float) -> pd.DataFrame:
+    """Range-join oracle: all (geo span, feature) pairs with the point inside
+    the feature (dist 0) or within d_deg of its boundary. Containment via the
+    independent winding test (cross-checked); distances via a DENSE
+    points×segments scan per feature — structurally independent of the
+    engine's bbox-pruned within()."""
+    from ..geometry import point_seg_dist_deg
+
+    pts = doc_points(fx_dir)
+    lonv = pts["lon"].to_numpy()
+    latv = pts["lat"].to_numpy()
+    rows = []
+    for poly in world.polygons():
+        inside = contains_checked(poly, lonv, latv)
+        x1, y1, x2, y2 = poly.segments()
+        dist = point_seg_dist_deg(lonv, latv, x1, y1, x2, y2).min(axis=1)
+        match = inside | (dist <= d_deg)
+        d_out = np.where(inside, 0.0, dist)
+        for i in np.flatnonzero(match):
+            rows.append((pts["doc_id"].iloc[i], int(pts["span_idx"].iloc[i]),
+                         int(poly.feature_id), poly.country,
+                         round(float(d_out[i]), 6)))
+    return pd.DataFrame(rows, columns=["doc_id", "span_idx", "feature_id",
+                                       "country", "dist_deg"])
+
+
 # ---- top-level writer ----
 
 def _long(df: pd.DataFrame, value_name: str = "km2") -> pd.DataFrame:
@@ -548,3 +574,6 @@ def write_expected(fx_dir: str, coarse: GridSpec, fine: GridSpec,
 
     da = doc_assignment(fx_dir, index_res, tiles, fine)
     da.to_parquet(os.path.join(fx_dir, "expected_doc_assignment.parquet"))
+
+    dw = doc_within_distance(fx_dir, d_deg=4.0)
+    dw.to_parquet(os.path.join(fx_dir, "expected_doc_within.parquet"))

@@ -195,6 +195,45 @@ def assign_points(points: DataFrame, index, lat_col: str = "lat",
     return points.mapInPandas(kernel, schema)
 
 
+def within_distance_join(points: DataFrame, index, d_deg: float,
+                         lat_col: str = "lat", lon_col: str = "lon",
+                         project: list[str] | None = None) -> DataFrame:
+    """Spatial RANGE join: every (point, feature) pair where the point lies
+    inside the feature or within d_deg (scaled degrees) of its boundary —
+    the buffer/within-distance query (no reference counterpart; engine
+    range-join primitive). Many-to-many; appends (feature_id, country,
+    dist_deg) with dist 0 for contained points. Same broadcast-kernel shape
+    as assign_points: zero shuffle in the join, bbox lower-bound pruning
+    inside the Arrow kernel."""
+    spark = points.sparkSession
+    bidx = index if hasattr(index, "value") else broadcast_index(spark, index)
+    keep = [f.name for f in points.schema.fields] if project is None else list(project)
+    schema = T.StructType(
+        [f for f in points.schema.fields if f.name in keep]
+        + [T.StructField("feature_id", T.IntegerType()),
+           T.StructField("country", T.StringType()),
+           T.StructField("dist_deg", T.DoubleType())])
+    out_cols = [f.name for f in schema.fields]
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        idx: BoundaryIndex = bidx.value
+        fids = idx.feature_ids().astype(np.int32)
+        countries = idx.countries()
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            lon = pdf[lon_col].to_numpy(dtype=np.float64)
+            lat = pdf[lat_col].to_numpy(dtype=np.float64)
+            pt, pp, dist = idx.within(lon, lat, d_deg)
+            out = pdf.iloc[pt].reset_index(drop=True)
+            out["feature_id"] = fids[pp]
+            out["country"] = countries[pp]
+            out["dist_deg"] = np.round(dist, 6)
+            yield out[out_cols]
+
+    return points.mapInPandas(kernel, schema)
+
+
 def tile_lookup_broadcast(spark: SparkSession, tiles_df: DataFrame):
     """Collect the non-blank (cell_id → aez_code) tile dim as sorted numpy
     arrays and broadcast it for the fused assign kernel. Blank (255) cells
