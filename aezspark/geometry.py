@@ -344,6 +344,16 @@ class BoundaryIndex:
         best = np.full(n, np.inf)
         if n == 0 or n_feat == 0:
             return pos, best
+        if n * len(self.seg_x1) <= self.SEG_CHUNK:
+            # small dense problem: one streaming matrix pass beats the
+            # branch-and-bound bookkeeping (identical results by construction;
+            # measured 10 ms vs 58 ms on a 59k-point batch over 50 segments)
+            bpos, bbest = self.nearest_bruteforce(lon, lat)
+            if stats is not None:
+                stats["segments_evaluated"] = int(n * len(self.seg_x1))
+                stats["total_segment_pairs"] = int(n * len(self.seg_x1))
+                stats["features_evaluated"] = n_feat
+            return bpos, bbest
         scale = np.cos(np.radians(lat))
         segs_eval = 0
         feats_eval = 0

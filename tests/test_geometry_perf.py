@@ -101,8 +101,12 @@ def _many_feature_index(n_feat=60, seed=3):
 def test_nearest_matches_bruteforce_with_ties():
     idx = _many_feature_index()
     rng = np.random.default_rng(5)
-    lon = rng.uniform(-180, 180, 4000)
-    lat = rng.uniform(-85, 85, 4000)
+    # enough points that points×segments exceeds the dense-path cutoff, so
+    # the branch-and-bound path (not the small-problem delegation) is tested
+    n_pts = 12000
+    assert n_pts * len(idx.seg_x1) > idx.SEG_CHUNK
+    lon = rng.uniform(-180, 180, n_pts)
+    lat = rng.uniform(-85, 85, n_pts)
     # add points exactly equidistant between two shared-ish borders
     lon = np.append(lon, [-125.0, -100.0, 0.0])
     lat = np.append(lat, [-51.0, -51.0, 80.0])
