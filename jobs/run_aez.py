@@ -40,7 +40,8 @@ def main():
     spark = get_spark("aezspark-run")
     w = World(spark, args.fixtures)
     todo = set(args.queries.split(","))
-    known = {"wk", "kg", "lc", "sl", "slfao", "dg", "aez", "tiles", "docs"}
+    known = {"wk", "kg", "lc", "sl", "slfao", "dg", "aez", "tiles", "docs",
+             "pngs"}
     unknown = todo - known
     if unknown:
         ap.error(f"unknown queries: {sorted(unknown)} (choose from {sorted(known)})")
@@ -66,6 +67,12 @@ def main():
     if "tiles" in todo:
         io_mod.write_tiles(w.tiles(), os.path.join(args.out, "tiles"))
         print("wrote tiles table")
+
+    if "pngs" in todo:
+        from aezspark import thumbnails
+
+        paths = thumbnails.write_all_thumbnails(w.tiles(), w.fine, args.out)
+        print(f"wrote {len(paths)} thumbnail PNGs")
 
     if "docs" in todo:
         # checkpointed doc enrichment: partition key = quadtree parent cell
