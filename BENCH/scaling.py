@@ -128,8 +128,10 @@ identical job on the same input. N=local[{N_CORES}] vs 4N=local[{N_CORES * 4}]:
 the host's 32 "CPUs" are SMT threads sharing one memory bus, and the pipeline
 saturates that bus well below 32 workers (measured: local[32] ≤ local[8] on
 this job), so 8-vs-32 would measure the memory bus, not the engine.
-`spark.sql.shuffle.partitions` matches cores; scan splits 32 MB so task waves
-don't quantize at 2 cores.
+`spark.sql.shuffle.partitions` matches cores; scan split size =
+{os.environ.get("AEZSPARK_MAX_PARTITION_BYTES", "engine default (128 MB)")}
+(set AEZSPARK_MAX_PARTITION_BYTES=33554432 for the balanced-wave sensitivity
+configuration).
 
 | corpus | N wall s | 4N wall s | docs/sec N | docs/sec 4N | eff | samples N / 4N (s) |
 |---|---|---|---|---|---|---|

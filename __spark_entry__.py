@@ -409,11 +409,14 @@ def q_streaming_dedup(spark, sf_dir):
     records the rows-only check. Deterministic: single availableNow pass,
     one emission per distinct leading-span text."""
     import shutil
-    import tempfile
 
     from aezspark import streaming as st_mod
 
-    work = tempfile.mkdtemp(prefix="aezspark_streamdedup_")
+    # fixed per-repo workdir, wiped on entry: repeated driver/selfcheck runs
+    # must not accumulate corpus copies under /tmp (which shares space with
+    # the tmpfs shuffle dirs)
+    work = "/root/repo/build/tmp/streamdedup"
+    shutil.rmtree(work, ignore_errors=True)
     in_dir = os.path.join(work, "in")
     out_dir = os.path.join(work, "out")
     os.makedirs(in_dir)
@@ -431,7 +434,11 @@ def q_streaming_dedup(spark, sf_dir):
          .option("checkpointLocation", os.path.join(work, "ckpt"))
          .trigger(availableNow=True)
          .start())
-    q.awaitTermination(300)
+    finished = q.awaitTermination(300)
+    if not finished:
+        q.stop()
+        raise RuntimeError("streaming_dedup did not finish within 300s — "
+                           "refusing to return a partial result")
     return spark.read.parquet(out_dir).orderBy("text_hash")
 
 

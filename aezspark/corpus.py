@@ -261,6 +261,7 @@ def neardup_clusters(pairs: DataFrame, max_iters: int = 20) -> DataFrame:
         edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))).cache()
     labels = (edges.select(F.col("src").alias("node")).distinct()
               .withColumn("label", F.col("node")))
+    converged = False
     for _ in range(max_iters):
         nbr = (edges.join(labels.select(F.col("node").alias("dst"),
                                         F.col("label").alias("dst_label")), "dst")
@@ -273,10 +274,21 @@ def neardup_clusters(pairs: DataFrame, max_iters: int = 20) -> DataFrame:
         changed = (new_labels.alias("n")
                    .join(labels.alias("o"), "node")
                    .filter(F.col("n.label") != F.col("o.label")).count())
+        # rebinding drops the only reference to the previous round's
+        # checkpointed RDD; Spark's ContextCleaner unpersists it once the
+        # py4j reference is collected, so storage stays O(1) rounds
         labels = new_labels
         if changed == 0:
+            converged = True
             break
     edges.unpersist()
+    if not converged:
+        # min-label propagation advances one hop per round: a component with
+        # diameter > max_iters would return SPLIT (wrong) clusters — fail
+        # loudly instead (raise max_iters for pathological chain shapes)
+        raise RuntimeError(
+            f"neardup_clusters did not converge in {max_iters} rounds "
+            f"(component diameter exceeds max_iters)")
     return labels.select(F.col("node").alias("doc_id"),
                          F.col("label").alias("cluster_id"))
 

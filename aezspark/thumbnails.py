@@ -103,7 +103,11 @@ def sample_codes(tiles_df: DataFrame, fine: GridSpec, code_col: str,
             .collect())
     h = (fine.ny + step - 1) // step
     w = (fine.nx + step - 1) // step
-    grid = np.full((h, w), 255 if code_col == "aez_code" else 0, dtype=np.uint8)
+    # cells absent from the table fill with each raster's BLANK code (black
+    # in every palette) — 0 is a real class (minimal slope / forest / good
+    # soil) and must not be fabricated for uncovered pixels
+    blank = {"aez_code": 255, "slope_code": 3, "lu_code": 8, "soil_code": 3}
+    grid = np.full((h, w), blank[code_col], dtype=np.uint8)
     for r in rows:
         grid[r.ty, r.tx] = r.code
     return grid

@@ -77,7 +77,6 @@ def ensure_bucketed_tiles(spark, n_docs: int) -> str:
     session re-registers it, but the overwrite is cheap at bench scale."""
     from pyspark.sql import functions as F
 
-    from aezspark.pipelines import World
     from aezspark.fixtures.generate import ensure_fixtures
 
     table = f"bench_tiles_bucketed_{n_docs}"
@@ -91,7 +90,7 @@ def ensure_bucketed_tiles(spark, n_docs: int) -> str:
         shutil.rmtree(os.path.join(warehouse, table), ignore_errors=True)
         fx = ensure_fixtures(bench_fx_dir(n_docs), coarse_px=0.5,
                              n_docs=n_docs, with_expected=False)
-        w = _WORLD_CACHE.get(id(spark), (None,))[0] or World(spark, fx)
+        w = _bench_world(spark, fx)
         (_tiles_cache(spark, w)
          .filter(F.col("aez_code") != 255)
          .select(F.col("cell_id").alias("fine_cell_id"), "aez_code")
@@ -110,12 +109,13 @@ def _flagship_smj(spark, n_docs: int):
     from pyspark.sql import functions as F
 
     from aezspark import documents as docs_mod
-    from aezspark.pipelines import World
     from aezspark.fixtures.generate import ensure_fixtures
 
     fx = ensure_fixtures(bench_fx_dir(n_docs), coarse_px=0.5, n_docs=n_docs,
                          with_expected=False)
-    w = _WORLD_CACHE.get(id(spark), (None,))[0] or World(spark, fx)
+    # static-index setup (World build + bucketed table) is shared/untimed —
+    # the same terms as the broadcast path, whose World rides _WORLD_CACHE
+    w = _bench_world(spark, fx)
     table = ensure_bucketed_tiles(spark, n_docs)
     tiles = (spark.table(table)
              .select(F.col("fine_cell_id").alias("cell_id"), "aez_code"))
@@ -161,8 +161,9 @@ def _bench_world(spark, fx):
     assignment are build-once static indexes (the reference's masks/
     directory analog), shared across bench queries exactly as a production
     session would share them."""
-    if id(spark) in _WORLD_CACHE:
-        return _WORLD_CACHE[id(spark)][0]
+    cached = _WORLD_CACHE.get(id(spark))
+    if cached is not None and cached[0].fx_dir == fx:
+        return cached[0]
     from aezspark.pipelines import World
 
     key = ("world-only", id(spark), fx)

@@ -20,6 +20,17 @@ def test_clusters_resolve_chains_and_stars(spark):
                    "x": "x", "y": "x"}
 
 
+def test_clusters_raise_on_non_convergence(spark):
+    import pytest
+
+    nodes = [f"n{i:02d}" for i in range(8)]
+    pairs = spark.createDataFrame(
+        [(nodes[i + 1], nodes[i]) for i in range(7)],
+        "doc_a STRING, doc_b STRING")
+    with pytest.raises(RuntimeError, match="did not converge"):
+        corpus.neardup_clusters(pairs, max_iters=2).collect()
+
+
 def test_clusters_long_chain_converges(spark):
     # 12-node chain: worst-case diameter for label propagation
     nodes = [f"n{i:02d}" for i in range(12)]
