@@ -114,6 +114,23 @@ def streaming_exact_dedup(docs_stream: DataFrame):
                                     "append", GroupStateTimeout.NoTimeout))
 
 
+def windowed_event_counts(events_stream: DataFrame,
+                          window: str = "10 minutes",
+                          watermark: str = "10 minutes") -> DataFrame:
+    """Watermarked tumbling-window counts per event type — the late-data
+    pattern for event streams (the DOCUMENT corpus carries no event time,
+    but the engine's events path does): rows later than the watermark are
+    dropped and their window's state evicted; rows late-but-within-watermark
+    still merge into their window. Append output mode emits each window once,
+    when the watermark passes its end."""
+    return (events_stream
+            .withWatermark("ts", watermark)
+            .groupBy(F.window("ts", window).alias("w"), "event_type")
+            .agg(F.count("*").alias("n"))
+            .select(F.col("w.start").alias("window_start"),
+                    F.col("w.end").alias("window_end"), "event_type", "n"))
+
+
 def read_zone_counts(spark: SparkSession, out_dir: str) -> DataFrame:
     """Merged view over the per-batch appends (a doc may appear in one batch
     only — file-source semantics — so summing is exact)."""
