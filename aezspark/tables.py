@@ -143,3 +143,22 @@ class SnapshotTable:
         referenced = {f for s in self.snapshots() for f in s["files"]}
         return sorted(f for f in os.listdir(self.data_dir)
                       if f.endswith(".parquet") and f not in referenced)
+
+    def expire_snapshots(self, keep_last: int = 1) -> list[int]:
+        """Drop all but the newest `keep_last` snapshots' manifests (their
+        exclusive data files become orphans for vacuum). The current snapshot
+        is always retained."""
+        snaps = self.snapshots()
+        expire = snaps[:-keep_last] if keep_last > 0 else snaps[:-1]
+        for s in expire:
+            os.remove(os.path.join(self.meta_dir, f"snap-{s['snapshot_id']}.json"))
+        return [s["snapshot_id"] for s in expire]
+
+    def vacuum(self) -> list[str]:
+        """Delete data files no retained snapshot references. Safe order:
+        orphan set computed from the retained manifests, which a concurrent
+        committer only ever grows by files it has already written."""
+        removed = self.orphan_files()
+        for f in removed:
+            os.remove(os.path.join(self.data_dir, f))
+        return removed

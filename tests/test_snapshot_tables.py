@@ -61,6 +61,19 @@ def test_read_never_lists_directory(spark, tmp_path):
     assert t.read().count() == 5
 
 
+def test_expire_and_vacuum(spark, tmp_path):
+    t = SnapshotTable(spark, str(tmp_path / "t"))
+    t.overwrite(_df(spark, 0, 10))
+    t.overwrite(_df(spark, 0, 3))     # snapshot 1's files now only held by s1
+    assert t.orphan_files() == []     # both snapshots retained → no orphans
+    expired = t.expire_snapshots(keep_last=1)
+    assert expired == [1]
+    removed = t.vacuum()
+    assert removed                    # snapshot 1's files were reclaimed
+    assert t.read().count() == 3      # current snapshot untouched
+    assert t.orphan_files() == []
+
+
 def test_documents_pipeline_over_snapshot_table(spark, world, tmp_path):
     """The interleaved-documents input path works identically from a
     snapshot table (north_rule: 'Iceberg tables of interleaved documents')."""
