@@ -81,9 +81,29 @@ def lsh_buckets(signatures: DataFrame, rows_per_band: int = 2,
                 F.collect_list(F.concat_ws(":", "seed", "sig"))))).alias("bucket")))
 
 
-def lsh_candidate_pairs(buckets: DataFrame, doc_col: str = "doc_id") -> DataFrame:
+def lsh_candidate_pairs(buckets: DataFrame, doc_col: str = "doc_id",
+                        max_bucket_size: int | None = 64) -> DataFrame:
     """Self-join on (band, bucket) → distinct unordered candidate pairs.
-    The bucket join is the scale path: no all-pairs comparison ever happens."""
+    The bucket join is the scale path: no all-pairs comparison ever happens.
+
+    Hot-bucket guard (the classic 100 TB LSH failure): a degenerate bucket —
+    N boilerplate/near-empty texts sharing one signature — makes the
+    bucket-local join quadratic WITHIN that bucket. Policy: (band, bucket)
+    groups larger than `max_bucket_size` are dropped, bounding per-bucket work
+    at cap², with a deliberate recall trade documented here: an over-cap
+    bucket is (by LSH construction) a mass of near-identical members, and the
+    right pipeline routes those through exact_dedup FIRST — N identical texts
+    share identical signatures in EVERY band, so the cap removes the N²·bands
+    candidate blow-up while exact dedup still collapses them
+    (tests/test_lsh_hot_bucket.py pins both halves). The size filter is one
+    extra aggregation on the same (band, bucket) shuffle key as the join.
+    max_bucket_size=None disables the guard (small-N baselines only)."""
+    if max_bucket_size is not None:
+        sizes = (buckets.groupBy("band", "bucket")
+                 .agg(F.count("*").alias("_bsz"))
+                 .filter(F.col("_bsz") <= max_bucket_size)
+                 .select("band", "bucket"))
+        buckets = buckets.join(sizes, ["band", "bucket"])
     a = buckets.select(F.col(doc_col).alias("doc_a"), "band", "bucket")
     b = buckets.select(F.col(doc_col).alias("doc_b"), "band", "bucket")
     return (a.join(b, ["band", "bucket"])
@@ -112,19 +132,33 @@ def simhash16(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """16-bit SimHash over whitespace tokens: per-token md5 → first 4 hex
     digits → 16 bits; simhash bit j = sign of Σ_tokens (2·bit_j − 1).
     Kept to 16 bits so the oracle stays a tractable SQL expression; widening
-    to 64 is the same construction ×4."""
+    to 64 is the same construction ×4.
+
+    Shuffle shape: ONE row per token through the groupBy — the 16 per-bit
+    sums are 16 conditional aggregate expressions over the SAME row (bit j is
+    a literal-position nibble extract of the token hash), not a ×16 J-explode
+    (the round-2 form inflated shuffle input 16×; same values, 1/16th the
+    shuffle — per-bit sign uses Σ(2b−1) = 2Σb − n, so only Σb per bit plus one
+    shared token count cross the shuffle)."""
     tokens = (docs.select("doc_id", F.explode(F.split(F.col(text_col), " ")).alias("tok"))
               .withColumn("h", F.md5(F.col("tok"))))
-    hexv = "instr('0123456789abcdef', substring(h, CAST(1 + floor(J / 4) AS INT), 1)) - 1"
-    bit = f"shiftright({hexv}, CAST(3 - J % 4 AS INT)) & 1"
-    contrib = (tokens
-               .withColumn("J", F.explode(F.sequence(F.lit(0), F.lit(15))))
-               .withColumn("c", F.expr(f"2 * ({bit}) - 1")))
-    return (contrib.groupBy("doc_id", "J").agg(F.sum("c").alias("s"))
-            .withColumn("b", F.when(F.col("s") > 0, 1).otherwise(0))
-            .groupBy("doc_id")
-            .agg(F.sum(F.expr("CAST(b AS BIGINT) * CAST(pow(2, J) AS BIGINT)"))
-                 .cast("long").alias("simhash")))
+
+    def bit(j: int):
+        pos, shift = 1 + j // 4, 3 - j % 4
+        return F.expr(
+            f"shiftright(instr('0123456789abcdef', substring(h, {pos}, 1)) - 1,"
+            f" {shift}) & 1")
+
+    agg = (tokens.groupBy("doc_id")
+           .agg(F.count("*").alias("n"),
+                *[F.sum(bit(j)).alias(f"b{j}") for j in range(16)]))
+    sim = None
+    for j in range(16):
+        # sign test: Σ(2·bit−1) > 0  ⟺  2·Σbit − n > 0
+        t = (F.when(F.lit(2) * F.col(f"b{j}") - F.col("n") > 0, F.lit(1 << j))
+             .otherwise(F.lit(0)))
+        sim = t if sim is None else sim + t
+    return agg.select("doc_id", sim.cast("long").alias("simhash"))
 
 
 # ---------------------------------------------------- similarity search
@@ -255,29 +289,39 @@ def neardup_clusters(pairs: DataFrame, max_iters: int = 20) -> DataFrame:
     practice. Each round is a shuffle join on the edge list; lineage is cut
     per round with localCheckpoint so the plan doesn't grow. At 10⁹ docs this
     is the standard alternating-star CC shape; the oracle is a DuckDB
-    recursive-CTE transitive closure over the same pairs."""
+    recursive-CTE transitive closure over the same pairs.
+
+    ONE Spark action per round: the convergence signal (count of nodes whose
+    label changed) is an observe() metric collected BY the localCheckpoint
+    materialization itself — no separate old-vs-new join+count job
+    (tests/test_neardup_clusters.py asserts the per-round job count)."""
+    from pyspark.sql import Observation
+
     edges = pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
     edges = edges.unionByName(
         edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))).cache()
     labels = (edges.select(F.col("src").alias("node")).distinct()
               .withColumn("label", F.col("node")))
     converged = False
-    for _ in range(max_iters):
+    for rnd in range(max_iters):
         nbr = (edges.join(labels.select(F.col("node").alias("dst"),
                                         F.col("label").alias("dst_label")), "dst")
                .groupBy("src").agg(F.min("dst_label").alias("nbr_label")))
+        obs = Observation(f"cc_changed_{rnd}")
         new_labels = (labels.join(nbr, labels.node == nbr.src, "left")
                       .select(labels.node,
                               F.least(F.col("label"),
-                                      F.coalesce("nbr_label", "label")).alias("label"))
+                                      F.coalesce("nbr_label", "label")).alias("label"),
+                              (F.coalesce("nbr_label", "label") < F.col("label"))
+                              .alias("_changed"))
+                      .observe(obs, F.sum(F.col("_changed").cast("long"))
+                               .alias("changed"))
                       .localCheckpoint())
-        changed = (new_labels.alias("n")
-                   .join(labels.alias("o"), "node")
-                   .filter(F.col("n.label") != F.col("o.label")).count())
+        changed = obs.get["changed"] or 0
         # rebinding drops the only reference to the previous round's
         # checkpointed RDD; Spark's ContextCleaner unpersists it once the
         # py4j reference is collected, so storage stays O(1) rounds
-        labels = new_labels
+        labels = new_labels.drop("_changed")
         if changed == 0:
             converged = True
             break

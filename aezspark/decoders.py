@@ -164,3 +164,34 @@ def slope_plurality(frac: dict[str, Column]) -> dict[str, Column]:
         'moderate': (frac['moderate'] > frac['steep']) & (frac['moderate'] >= frac['minimal']),
         'minimal': (frac['minimal'] > frac['steep']) & (frac['minimal'] >= frac['moderate']),
     }
+
+
+# raw-DEM slope band edges (data/geomorpho90m/classify_slope.py:71-84):
+# band i counts raw pixels with lo <= slope < hi (last band inclusive at 90)
+SLOPE_BAND_EDGES = [0.0, 0.5, 2.0, 5.0, 8.0, 15.0, 30.0, 45.0, 90.0]
+
+
+def classify_slope(raw: "DataFrame", factor: int = 10) -> "DataFrame":
+    """Upstream slope preprocessing (data/geomorpho90m/classify_slope.py:66-96):
+    continuous raw-DEM slope pixels → per-coarse-pixel 8-band counts + a 9th
+    mean band. Each output pixel aggregates a factor×factor raw block
+    (y//factor, x//factor): c1..c8 = count of raw pixels in each band
+    ([0,0.5) ... [45,90], last band inclusive), mean_class = floor(mean of
+    valid values in [0,90]) or 127 where the block has no valid pixel
+    (classify_slope.py:85-88). Pure conditional-sum aggregation — one scan,
+    one grouped agg, map-side partials absorb the factor² fan-in."""
+    from pyspark.sql import functions as F
+
+    s = F.col("slope")
+    aggs = []
+    for i in range(8):
+        lo, hi = SLOPE_BAND_EDGES[i], SLOPE_BAND_EDGES[i + 1]
+        cond = (s >= lo) & ((s <= hi) if i == 7 else (s < hi))
+        aggs.append(F.sum(cond.cast("int")).alias(f"c{i + 1}"))
+    valid_mean = F.avg(F.when((s >= 0.0) & (s <= 90.0), s))
+    aggs.append(F.coalesce(F.floor(valid_mean).cast("int"), F.lit(127))
+                .alias("mean_class"))
+    return (raw.groupBy(
+                F.floor(F.col("y") / factor).cast("int").alias("y"),
+                F.floor(F.col("x") / factor).cast("int").alias("x"))
+            .agg(*aggs))

@@ -117,15 +117,54 @@ def span_invariant_violations(docs_in: DataFrame, docs_out: DataFrame) -> int:
         | (F.col("seq_in") != F.col("seq_out"))).count()
 
 
-def doc_zone_counts(assigned_aez: DataFrame) -> DataFrame:
+def doc_zone_counts(assigned_aez: DataFrame, doc_local: bool = False) -> DataFrame:
     """Zonal doc aggregation: distinct documents per (country, aez_code).
 
-    Skew handling: the distinct's shuffle key includes the high-cardinality
-    doc_id, so a hot country is spread over all reducers (the salt is
-    intrinsic — same effect as an explicit `pmod(hash(doc_id), k)` salt column
-    without the extra shuffle); the final (country, aez_code) aggregation then
-    runs on the already-deduplicated, much smaller set with map-side partial
-    aggregation."""
+    doc_local=False (general form): global distinct over (country, aez_code,
+    doc_id). Skew handling: the distinct's shuffle key includes the
+    high-cardinality doc_id, so a hot country is spread over all reducers (the
+    salt is intrinsic — same effect as an explicit `pmod(hash(doc_id), k)`
+    salt column without the extra shuffle); the final (country, aez_code)
+    aggregation then runs on the already-deduplicated, much smaller set with
+    map-side partial aggregation.
+
+    doc_local=True (the 10¹²-doc form): NO doc_id ever crosses a shuffle.
+    Precondition: every row of a given doc_id lives in ONE partition of
+    `assigned_aez`. This holds by construction for the engine's whole
+    assignment chain — documents scan → posexplode → mapInPandas PIP/kNN
+    kernel → broadcast tile join are all narrow (zero exchanges), so a doc's
+    spans never leave the scan partition that produced them (pinned by
+    tests/test_doc_zone_counts.py, which also shows the scrambled-input
+    counterexample). Under that precondition a per-partition dedup of
+    (country, aez_code, doc_id) is globally exact, and only the tiny
+    per-partition (country, aez_code, n) partials are shuffled — the 20M-row
+    distinct shuffle (the measured non-scaling residue in BENCH/BASELINE.md
+    round 2) disappears entirely. Memory bound: the distinct triples of one
+    partition (not the rows) are held in the Arrow kernel."""
+    if doc_local:
+        import pandas as pd
+
+        def kernel(batches):
+            parts = []
+            for pdf in batches:
+                if len(pdf):
+                    parts.append(pdf.drop_duplicates())
+            if not parts:
+                return
+            allp = pd.concat(parts, ignore_index=True).drop_duplicates()
+            out = (allp.groupby(["country", "aez_code"], sort=False)
+                   .size().reset_index(name="n_docs"))
+            yield pd.DataFrame({
+                "country": out["country"],
+                "aez_code": out["aez_code"].astype("int32"),
+                "n_docs": out["n_docs"].astype("int64")})
+
+        partials = (assigned_aez
+                    .select("country", "aez_code", "doc_id")
+                    .mapInPandas(kernel,
+                                 "country string, aez_code int, n_docs long"))
+        return (partials.groupBy("country", "aez_code")
+                .agg(F.sum("n_docs").alias("n_docs")))
     distinct = (assigned_aez
                 .select("country", "aez_code", "doc_id")
                 .distinct())

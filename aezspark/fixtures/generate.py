@@ -200,6 +200,31 @@ def gen_documents(n_docs: int) -> pa.Table:
     })
 
 
+def gen_raw_slope(ny: int = 240, nx: int = 240) -> pa.Table:
+    """Raw-DEM slope fixture for the classify_slope preprocessing decoder
+    (data/geomorpho90m/classify_slope.py): continuous per-pixel slope at 10×
+    the coarse resolution, with <0 / >90 invalid sentinels, one all-invalid
+    block (→ mean_class 127), and ~2% absent pixels (sparse rows).
+
+    Values are exact multiples of 1/64 so every partial sum is exactly
+    representable in a double: Spark's and DuckDB's avg() agree bit-for-bit
+    regardless of summation order, making floor(mean) engine-portable."""
+    rng = np.random.default_rng(SEED + 7)
+    y, x = np.meshgrid(np.arange(ny), np.arange(nx), indexing="ij")
+    y, x = y.ravel(), x.ravel()
+    slope = np.round(rng.gamma(2.0, 6.0, size=len(y)) * 64) / 64.0
+    inv = rng.random(len(y)) < 0.03
+    slope[inv] = -1.0
+    hi = rng.random(len(y)) < 0.01
+    slope[hi] = 92.5
+    block0 = (y < 10) & (x < 10)  # one coarse pixel with zero valid data
+    slope[block0] = -1.0
+    keep = (rng.random(len(y)) >= 0.02) | block0
+    return pa.table({"y": pa.array(y[keep].astype(np.int32)),
+                     "x": pa.array(x[keep].astype(np.int32)),
+                     "slope": pa.array(slope[keep])})
+
+
 DEFAULT_DIR = "/root/repo/build/fixtures/test"
 
 
@@ -208,7 +233,7 @@ def ensure_fixtures(out_dir: str = DEFAULT_DIR, coarse_px: float = 2.5,
     """Idempotently generate the fixture world (and, optionally, the numpy
     oracle's expected_* outputs) into out_dir. Returns out_dir."""
     params = {"seed": SEED, "coarse_px": coarse_px, "n_docs": n_docs,
-              "with_expected": with_expected, "v": 9}
+              "with_expected": with_expected, "v": 10}
     manifest = os.path.join(out_dir, "manifest.json")
     if os.path.exists(manifest):
         with open(manifest) as f:
@@ -221,6 +246,7 @@ def ensure_fixtures(out_dir: str = DEFAULT_DIR, coarse_px: float = 2.5,
 
     tables = gen_rasters(coarse, fine, rng)
     tables["documents"] = gen_documents(n_docs)
+    tables["raw_slope"] = gen_raw_slope()
 
     brecs = world.boundaries_records()
     tables["boundaries"] = pa.Table.from_pylist(brecs)

@@ -524,6 +524,39 @@ def doc_within_distance(fx_dir: str, d_deg: float) -> pd.DataFrame:
                                        "country", "dist_deg"])
 
 
+def doc_knn_topk(fx_dir: str, k: int = 3) -> pd.DataFrame:
+    """kNN top-k oracle: for every geo span contained in NO polygon
+    (containment via the independent winding test), the k nearest features by
+    boundary distance with rank 1..k ordered by (dist, feature position) —
+    a DENSE per-feature scan, structurally independent of the engine's
+    branch-and-bound nearest_k."""
+    from ..geometry import point_seg_dist_deg
+
+    pts = doc_points(fx_dir)
+    lonv = pts["lon"].to_numpy()
+    latv = pts["lat"].to_numpy()
+    polys = world.polygons()
+    matched = np.zeros(len(pts), dtype=bool)
+    dists = np.full((len(pts), len(polys)), np.inf)
+    for f, poly in enumerate(polys):
+        matched |= contains_checked(poly, lonv, latv)
+        x1, y1, x2, y2 = poly.segments()
+        dists[:, f] = point_seg_dist_deg(lonv, latv, x1, y1, x2, y2).min(axis=1)
+    un = np.flatnonzero(~matched)
+    k_eff = min(k, len(polys))
+    fpos = np.broadcast_to(np.arange(len(polys)), (len(un), len(polys)))
+    order = np.lexsort((fpos, dists[un]))[:, :k_eff]
+    rows = []
+    for i, p in enumerate(un):
+        for r in range(k_eff):
+            f = int(order[i, r])
+            rows.append((pts["doc_id"].iloc[p], int(pts["span_idx"].iloc[p]),
+                         int(polys[f].feature_id), polys[f].country,
+                         round(float(dists[p, f]), 6), r + 1))
+    return pd.DataFrame(rows, columns=["doc_id", "span_idx", "feature_id",
+                                       "country", "dist_deg", "rank"])
+
+
 # ---- top-level writer ----
 
 def _long(df: pd.DataFrame, value_name: str = "km2") -> pd.DataFrame:
@@ -577,3 +610,6 @@ def write_expected(fx_dir: str, coarse: GridSpec, fine: GridSpec,
 
     dw = doc_within_distance(fx_dir, d_deg=4.0)
     dw.to_parquet(os.path.join(fx_dir, "expected_doc_within.parquet"))
+
+    kt = doc_knn_topk(fx_dir, k=3)
+    kt.to_parquet(os.path.join(fx_dir, "expected_knn_topk.parquet"))

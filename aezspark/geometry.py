@@ -402,6 +402,102 @@ class BoundaryIndex:
             stats["features_evaluated"] = int(feats_eval)
         return pos, best
 
+    def nearest_k(self, lon, lat, k: int, stats: dict | None = None):
+        """Top-k nearest features by boundary distance per point (SURVEY §2.5
+        rank-by-distance shape). Returns (pos, dist) of shape (N, k_eff),
+        k_eff = min(k, n_features), each row ordered by (dist asc, poly_pos
+        asc) — identical to a dense per-feature scan's top-k, including
+        tie-breaks.
+
+        Same vectorized bbox branch-and-bound as nearest(), with the bound
+        generalized to the k-th best distance: a feature is evaluated exactly
+        when its bbox lower bound can still displace the point's current k-th
+        entry. Insertion keeps per-point (dist, pos) lists sorted via a
+        row-wise lexsort of (k_eff+1)-wide buffers — k is small, so the
+        re-sort is O(k log k) per candidate point. `stats` receives the same
+        candidate-reduction counters as nearest()."""
+        lon = np.atleast_1d(np.asarray(lon, dtype=np.float64))
+        lat = np.atleast_1d(np.asarray(lat, dtype=np.float64))
+        n = len(lon)
+        n_feat = len(self.polygons)
+        k_eff = min(k, n_feat)
+        pos = np.zeros((n, k_eff), dtype=np.int64)
+        best = np.full((n, k_eff), np.inf)
+        if n == 0 or n_feat == 0 or k_eff == 0:
+            return pos, best
+        if n * len(self.seg_x1) <= self.SEG_CHUNK:
+            # small dense problem: full per-feature matrix + row-wise top-k
+            bpos, bbest = self.nearest_bruteforce_k(lon, lat, k_eff)
+            if stats is not None:
+                stats["segments_evaluated"] = int(n * len(self.seg_x1))
+                stats["total_segment_pairs"] = int(n * len(self.seg_x1))
+                stats["features_evaluated"] = n_feat
+            return bpos, bbest
+        segs_eval = 0
+        feats_eval = 0
+        scale = np.cos(np.radians(lat))
+        pt_chunk = max(1, 4_000_000 // max(n_feat, 1))
+        for c0 in range(0, n, pt_chunk):
+            sl = slice(c0, min(c0 + pt_chunk, n))
+            plon, plat, sc = lon[sl], lat[sl], scale[sl]
+            m = len(plon)
+            dlon = np.maximum(0.0, np.maximum(
+                self.bb_lon_min[None, :] - plon[:, None],
+                plon[:, None] - self.bb_lon_max[None, :])) * sc[:, None]
+            dlat = np.maximum(0.0, np.maximum(
+                self.bb_lat_min[None, :] - plat[:, None],
+                plat[:, None] - self.bb_lat_max[None, :]))
+            lb = np.hypot(dlon, dlat)  # (m, n_feat)
+            bbest = np.full((m, k_eff), np.inf)
+            bpos = np.full((m, k_eff), n_feat, dtype=np.int64)  # sentinel > any pos
+            rows = np.arange(m)[:, None]
+            for f in range(n_feat):
+                # evaluate where the bbox bound can still displace the k-th
+                # entry (ties included: equal dist with lower pos never
+                # displaces here because f is ascending, so existing entries
+                # with equal dist have lower pos — matching dense tie-breaks)
+                cand = np.flatnonzero(lb[:, f] < bbest[:, -1])
+                if not len(cand):
+                    continue
+                d = self._feat_dist(plon[cand], plat[cand], f)
+                buf_d = np.concatenate([bbest[cand], d[:, None]], axis=1)
+                buf_p = np.concatenate(
+                    [bpos[cand], np.full((len(cand), 1), f, dtype=np.int64)],
+                    axis=1)
+                order = np.lexsort((buf_p, buf_d))  # primary dist, then pos
+                r = np.arange(len(cand))[:, None]
+                bbest[cand] = buf_d[r, order[:, :k_eff]]
+                bpos[cand] = buf_p[r, order[:, :k_eff]]
+                segs_eval += len(cand) * int(self.seg_ptr[f + 1] - self.seg_ptr[f])
+                feats_eval += 1
+            best[sl] = bbest
+            pos[sl] = bpos
+        if stats is not None:
+            stats["segments_evaluated"] = int(segs_eval)
+            stats["total_segment_pairs"] = int(n * len(self.seg_x1))
+            stats["features_evaluated"] = int(feats_eval)
+        return pos, best
+
+    def nearest_bruteforce_k(self, lon, lat, k: int):
+        """Dense per-feature scan top-k — nearest_k's test baseline and its
+        small-problem fast path. Row order: (dist asc, poly_pos asc)."""
+        lon = np.atleast_1d(np.asarray(lon, dtype=np.float64))
+        lat = np.atleast_1d(np.asarray(lat, dtype=np.float64))
+        d = point_seg_dist_deg(lon, lat, self.seg_x1, self.seg_y1,
+                               self.seg_x2, self.seg_y2)
+        n_feat = len(self.polygons)
+        k_eff = min(k, n_feat)
+        per_feat = np.full((len(lon), n_feat), np.inf)
+        for f in range(n_feat):
+            cols = self.seg_feat == f
+            if cols.any():
+                per_feat[:, f] = d[:, cols].min(axis=1)
+        fpos = np.broadcast_to(np.arange(n_feat, dtype=np.int64),
+                               per_feat.shape)
+        order = np.lexsort((fpos, per_feat))[:, :k_eff]
+        rows = np.arange(len(lon))[:, None]
+        return (fpos[rows, order].copy(), per_feat[rows, order].copy())
+
     def within(self, lon, lat, d_deg: float):
         """Spatial RANGE join primitive: all (point, feature) pairs where the
         point is inside the feature or within `d_deg` of its boundary, in the

@@ -116,6 +116,26 @@ POINT_ASSIGN_FIELDS = [
 ]
 
 
+def _validate_projection(points: DataFrame, project: list[str] | None,
+                         appended: list[str], op: str) -> list[str]:
+    """Shared guard for the broadcast-kernel joins: every `project` entry must
+    exist in the input schema (silent drops hide typos), and the appended
+    output fields must not collide with kept input columns (the kernel would
+    silently overwrite them)."""
+    names = [f.name for f in points.schema.fields]
+    if project is not None:
+        missing = [c for c in project if c not in names]
+        if missing:
+            raise ValueError(f"{op}: project columns not in input schema: "
+                             f"{missing} (have {names})")
+    keep = names if project is None else list(project)
+    clash = [c for c in keep if c in appended]
+    if clash:
+        raise ValueError(f"{op}: input columns {clash} collide with appended "
+                         f"output fields {appended}; rename or project them away")
+    return keep
+
+
 def assign_points(points: DataFrame, index, lat_col: str = "lat",
                   lon_col: str = "lon", knn_fallback: bool = True,
                   many_to_many: bool = True, tile_lookup=None,
@@ -141,10 +161,11 @@ def assign_points(points: DataFrame, index, lat_col: str = "lat",
     spark = points.sparkSession
     bidx = index if hasattr(index, "value") else broadcast_index(spark, index)
 
-    keep = [f.name for f in points.schema.fields] if project is None else list(project)
     extra = list(POINT_ASSIGN_FIELDS)
     if tile_lookup is not None:
         extra = extra + [T.StructField("aez_code", T.IntegerType())]
+    keep = _validate_projection(points, project, [f.name for f in extra],
+                                "assign_points")
     schema = T.StructType([f for f in points.schema.fields if f.name in keep]
                           + extra)
     out_cols = [f.name for f in schema.fields]
@@ -207,7 +228,9 @@ def within_distance_join(points: DataFrame, index, d_deg: float,
     inside the Arrow kernel."""
     spark = points.sparkSession
     bidx = index if hasattr(index, "value") else broadcast_index(spark, index)
-    keep = [f.name for f in points.schema.fields] if project is None else list(project)
+    keep = _validate_projection(points, project,
+                                ["feature_id", "country", "dist_deg"],
+                                "within_distance_join")
     schema = T.StructType(
         [f for f in points.schema.fields if f.name in keep]
         + [T.StructField("feature_id", T.IntegerType()),
@@ -229,6 +252,71 @@ def within_distance_join(points: DataFrame, index, d_deg: float,
             out["feature_id"] = fids[pp]
             out["country"] = countries[pp]
             out["dist_deg"] = np.round(dist, 6)
+            yield out[out_cols]
+
+    return points.mapInPandas(kernel, schema)
+
+
+def knn_topk_join(points: DataFrame, index, k: int,
+                  lat_col: str = "lat", lon_col: str = "lon",
+                  unmatched_only: bool = True,
+                  project: list[str] | None = None,
+                  stats_acc=None) -> DataFrame:
+    """kNN spatial join with k > 1 (SURVEY §2.5 rank-by-distance): for each
+    point, the k nearest features by boundary distance, as (feature_id,
+    country, dist_deg, rank) rows with rank 1..k ordered by (dist asc,
+    feature position asc) — dense-scan-identical including tie-breaks.
+
+    unmatched_only=True restricts to points contained in NO polygon (the
+    nearest-zone fallback population, same rule as assign_points' kNN path);
+    False ranks every point. Same broadcast-kernel shape as assign_points:
+    zero shuffle, candidate generation via the bbox branch-and-bound with a
+    k-element bound (geometry.BoundaryIndex.nearest_k). stats_acc: optional
+    dict collected per-batch for candidate-reduction assertions (test use —
+    single-partition inputs only)."""
+    spark = points.sparkSession
+    bidx = index if hasattr(index, "value") else broadcast_index(spark, index)
+    keep = _validate_projection(points, project,
+                                ["feature_id", "country", "dist_deg", "rank"],
+                                "knn_topk_join")
+    schema = T.StructType(
+        [f for f in points.schema.fields if f.name in keep]
+        + [T.StructField("feature_id", T.IntegerType()),
+           T.StructField("country", T.StringType()),
+           T.StructField("dist_deg", T.DoubleType()),
+           T.StructField("rank", T.IntegerType())])
+    out_cols = [f.name for f in schema.fields]
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        idx: BoundaryIndex = bidx.value
+        fids = idx.feature_ids().astype(np.int32)
+        countries = idx.countries()
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            lon = pdf[lon_col].to_numpy(dtype=np.float64)
+            lat = pdf[lat_col].to_numpy(dtype=np.float64)
+            if unmatched_only:
+                pt, _pp = idx.pip(lon, lat, many_to_many=False)
+                sel = np.ones(len(pdf), dtype=bool)
+                sel[pt] = False
+                pdf = pdf.loc[sel].reset_index(drop=True)
+                lon, lat = lon[sel], lat[sel]
+            if not len(pdf):
+                continue
+            stats = {} if stats_acc is not None else None
+            pos, dist = idx.nearest_k(lon, lat, k, stats=stats)
+            if stats_acc is not None:
+                for key, v in stats.items():
+                    stats_acc[key] = stats_acc.get(key, 0) + v
+            k_eff = pos.shape[1]
+            rep = np.repeat(np.arange(len(pdf)), k_eff)
+            out = pdf.iloc[rep].reset_index(drop=True)
+            out["feature_id"] = fids[pos.ravel()]
+            out["country"] = countries[pos.ravel()]
+            out["dist_deg"] = np.round(dist.ravel(), 6)
+            out["rank"] = np.tile(np.arange(1, k_eff + 1, dtype=np.int32),
+                                  len(pdf))
             yield out[out_cols]
 
     return points.mapInPandas(kernel, schema)

@@ -66,6 +66,17 @@ def enrich_stream(docs_stream: DataFrame, bidx, tile_lookup, fine,
             .trigger(availableNow=True))
 
 
+def doc_content_hash(spans_col: str = "spans"):
+    """Doc-level content key: md5 over the ordered span sequence — each span
+    contributes (kind, text, media_ref) joined by \\x1e, spans joined by \\x1f
+    (engine-portable: the DuckDB oracle mirrors it with list_transform +
+    array_to_string + chr())."""
+    return F.md5(F.concat_ws(
+        "\x1f",
+        F.transform(spans_col, lambda s: F.concat_ws(
+            "\x1e", s["kind"], s["text"], s["media_ref"]))))
+
+
 def streaming_exact_dedup(docs_stream: DataFrame):
     """Custom STATEFUL streaming operator (applyInPandasWithState): exact
     dedup across micro-batches. State per text-hash group = the canonical
@@ -77,12 +88,18 @@ def streaming_exact_dedup(docs_stream: DataFrame):
     Emits (text_hash, canonical_doc_id) once per newly-seen hash. Determinism
     within a micro-batch: the lexicographically smallest doc_id of the batch
     group wins (matches exact_dedup's min(doc_id) semantics); across batches,
-    first batch wins (arrival order — inherent to streaming)."""
+    first batch wins (arrival order — inherent to streaming; pin the file→
+    batch order, e.g. one shard per trigger in mtime order, and first-seen
+    becomes fully SQL-expressible — the driver oracle does exactly that).
+
+    The dedup key is a DOC-LEVEL hash: md5 over the full span sequence
+    (kind, text, media_ref per span, in array order). Hashing only
+    spans[0].text would collapse every doc whose first span is media (text '')
+    into one group — a different operator than batch exact_dedup."""
     import pandas as pd
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
-    hashed = docs_stream.select(
-        F.md5(F.col("spans")[0]["text"]).alias("text_hash"), "doc_id")
+    hashed = docs_stream.select(doc_content_hash().alias("text_hash"), "doc_id")
 
     out_schema = T.StructType([
         T.StructField("text_hash", T.StringType()),

@@ -18,6 +18,12 @@ Guarantees (tested):
     leaves orphan data files but never a torn table;
   * append/overwrite are snapshot-isolated: a reader that planned from
     snapshot N is unaffected by a concurrent commit of N+1;
+  * concurrent committers: optimistic concurrency — the manifest is created
+    O_EXCL, so of two writers racing to the same snapshot id exactly one
+    wins and the other raises ConcurrentCommitError (retry with a fresh
+    parent); no commit is ever silently overwritten;
+  * vacuum honors a grace window (remove-orphans older-than), so it cannot
+    delete the staged data files of an append that has not committed yet;
   * time travel: read any retained snapshot by id.
 
 Directory-listing reads (plain spark.read.parquet on data/) are WRONG against
@@ -32,6 +38,12 @@ import os
 import uuid
 
 from pyspark.sql import DataFrame, SparkSession
+
+
+class ConcurrentCommitError(RuntimeError):
+    """Lost an optimistic-concurrency commit race (or found crashed-commit
+    debris): the target snapshot manifest already exists. Retry the commit;
+    the already-written data files are reusable."""
 
 
 class SnapshotTable:
@@ -88,6 +100,15 @@ class SnapshotTable:
         return files
 
     def _commit(self, files: list[str], schema_json: str, operation: str) -> int:
+        """Optimistic-concurrency commit: the snapshot manifest is created
+        with O_EXCL, so when two writers race to sid = parent+1 exactly one
+        wins and the loser fails LOUDLY with ConcurrentCommitError (retry =
+        recompute parent and re-commit; the data files are already safe in
+        data/ and are reused). This is the same compare-and-swap shape as
+        Iceberg's metadata-pointer CAS. A writer that crashes between manifest
+        creation and the pointer swap leaves an orphan manifest snap-<N>.json
+        not reachable from version-hint — remove it to unblock the next
+        committer (the error message says which file)."""
         parent = self.current_snapshot_id()
         sid = (parent or 0) + 1
         snap = {
@@ -99,12 +120,17 @@ class SnapshotTable:
             "summary": {"n_files": len(files)},
         }
         snap_path = os.path.join(self.meta_dir, f"snap-{sid}.json")
-        tmp = snap_path + ".tmp"
-        with open(tmp, "w") as f:
+        try:
+            fd = os.open(snap_path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+        except FileExistsError:
+            raise ConcurrentCommitError(
+                f"snapshot {sid} already exists at {snap_path}: another "
+                f"writer committed first (retry the commit), or a crashed "
+                f"commit left an orphan manifest (delete that file)") from None
+        with os.fdopen(fd, "w") as f:
             json.dump(snap, f, indent=2, sort_keys=True)
-        os.rename(tmp, snap_path)
         # the commit point: one atomic pointer swap
-        tmp_hint = self._hint_path + ".tmp"
+        tmp_hint = self._hint_path + f".tmp.{uuid.uuid4().hex}"
         with open(tmp_hint, "w") as f:
             f.write(str(sid))
         os.replace(tmp_hint, self._hint_path)
@@ -154,11 +180,25 @@ class SnapshotTable:
             os.remove(os.path.join(self.meta_dir, f"snap-{s['snapshot_id']}.json"))
         return [s["snapshot_id"] for s in expire]
 
-    def vacuum(self) -> list[str]:
-        """Delete data files no retained snapshot references. Safe order:
-        orphan set computed from the retained manifests, which a concurrent
-        committer only ever grows by files it has already written."""
-        removed = self.orphan_files()
-        for f in removed:
-            os.remove(os.path.join(self.data_dir, f))
+    def vacuum(self, grace_seconds: float = 3600.0) -> list[str]:
+        """Delete data files no retained snapshot references, SKIPPING files
+        younger than `grace_seconds` (Iceberg's remove_orphan_files
+        older-than rule): an in-flight append writes its data files BEFORE
+        its commit, so without the grace window a concurrent vacuum could
+        delete files the imminent commit will reference — a torn table.
+        grace_seconds=0 is only safe when no writer can be in flight
+        (tests / single-writer maintenance windows)."""
+        import time
+
+        now = time.time()
+        removed = []
+        for f in self.orphan_files():
+            p = os.path.join(self.data_dir, f)
+            try:
+                if now - os.path.getmtime(p) < grace_seconds:
+                    continue
+                os.remove(p)
+            except FileNotFoundError:
+                continue  # another vacuum raced us — already gone
+            removed.append(f)
         return removed

@@ -1,0 +1,54 @@
+"""doc_zone_counts doc_local path: the partition-local distinct-doc dedup
+(zero doc_id shuffle — the round-3 scaling fix) must equal the global
+distinct exactly when docs are partition-local, and its precondition must be
+demonstrably load-bearing (a scrambled input over-counts)."""
+
+from pyspark.sql import functions as F
+
+from aezspark import documents as docs_mod
+
+
+def _enriched(world):
+    assigned = docs_mod.assign_documents(world.documents(), world.bidx)
+    return docs_mod.with_aez(assigned, world.tiles(), world.fine)
+
+
+def _as_dict(df):
+    return {(r.country, r.aez_code): r.n_docs for r in df.collect()}
+
+
+def test_doc_local_equals_global_on_colocated_input(spark, world):
+    """The engine's whole assignment chain is narrow (scan → posexplode →
+    mapInPandas → broadcast tile join), so docs never cross partitions and
+    the partition-local dedup is globally exact."""
+    enriched = _enriched(world)
+    exact = _as_dict(docs_mod.doc_zone_counts(enriched))
+    local = _as_dict(docs_mod.doc_zone_counts(enriched, doc_local=True))
+    assert local == exact and sum(exact.values()) > 0
+
+
+def test_doc_local_plan_has_no_wide_shuffle_of_doc_ids(spark, world):
+    """The doc_local plan's only Exchange carries (country, aez_code, n)
+    partials — doc_id must not appear in any exchanged schema."""
+    plan = (docs_mod.doc_zone_counts(_enriched(world), doc_local=True)
+            ._jdf.queryExecution().executedPlan().toString())
+    for line in plan.splitlines():
+        if "Exchange" in line:
+            assert "doc_id" not in line, line
+
+
+def test_doc_local_precondition_is_load_bearing(spark):
+    """Counter-example: rows of one doc spread across partitions are counted
+    once per partition — doc_local on a scrambled input over-counts, which is
+    exactly why the precondition is documented."""
+    schema = "country STRING, aez_code INT, doc_id STRING"
+    # deterministic split: parallelize with 2 slices puts d1's first row in
+    # partition 0 and its second in partition 1 (slice boundaries are fixed;
+    # a plain union of coalesced frames gets re-collapsed by AQE)
+    rows = [("X", 1, "d1"), ("X", 1, "d1"), ("X", 1, "d2")]
+    df = spark.createDataFrame(spark.sparkContext.parallelize(rows, 2), schema)
+    assert df.rdd.getNumPartitions() == 2
+    exact = _as_dict(docs_mod.doc_zone_counts(df))
+    local = _as_dict(docs_mod.doc_zone_counts(df, doc_local=True))
+    assert exact[("X", 1)] == 2
+    assert local[("X", 1)] > exact[("X", 1)]

@@ -140,3 +140,37 @@ def test_bucket_keys_clamped_at_domain_edges():
     assert bx[1] == 0 and by[1] == 0
     keys = idx.bucket_of(np.array([180.0]), np.array([0.0]))
     assert 0 <= keys[0] < idx.index_nx * idx.index_ny
+
+
+def test_nearest_k_matches_dense_topk_with_ties():
+    """nearest_k (bbox B&B with a k-element bound) must equal the dense
+    per-feature top-k, row-ordered by (dist asc, pos asc) including
+    tie-breaks, with the same candidate-reduction property as nearest()."""
+    idx = _many_feature_index()
+    rng = np.random.default_rng(9)
+    n_pts = 12000
+    assert n_pts * len(idx.seg_x1) > idx.SEG_CHUNK  # forces the B&B path
+    lon = rng.uniform(-180, 180, n_pts)
+    lat = rng.uniform(-85, 85, n_pts)
+    lon = np.append(lon, [-125.0, -100.0, 0.0])   # equidistant tie probes
+    lat = np.append(lat, [-51.0, -51.0, 80.0])
+    pos_bf, d_bf = idx.nearest_bruteforce_k(lon, lat, 3)
+    stats = {}
+    pos, d = idx.nearest_k(lon, lat, 3, stats=stats)
+    assert (pos == pos_bf).all()
+    assert np.array_equal(d, d_bf)               # bit-identical math path
+    # per-row ordering invariant
+    assert (np.diff(d, axis=1) >= 0).all()
+    frac = stats["segments_evaluated"] / stats["total_segment_pairs"]
+    assert frac < 0.5, f"evaluated {frac:.2%} of all pairs"
+    # rank-1 column must equal the k=1 operator
+    pos1, d1 = idx.nearest(lon, lat)
+    assert (pos[:, 0] == pos1).all() and np.array_equal(d[:, 0], d1)
+
+
+def test_nearest_k_clamps_k_to_feature_count():
+    idx = _many_feature_index(n_feat=2)
+    pos, d = idx.nearest_k([0.0, 10.0], [0.0, 5.0], 5)
+    assert pos.shape == (2, 2) and d.shape == (2, 2)
+    pos_bf, d_bf = idx.nearest_bruteforce_k([0.0, 10.0], [0.0, 5.0], 5)
+    assert (pos == pos_bf).all() and np.array_equal(d, d_bf)

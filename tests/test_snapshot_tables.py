@@ -68,10 +68,44 @@ def test_expire_and_vacuum(spark, tmp_path):
     assert t.orphan_files() == []     # both snapshots retained → no orphans
     expired = t.expire_snapshots(keep_last=1)
     assert expired == [1]
-    removed = t.vacuum()
+    # default grace window protects young files (an in-flight append's
+    # staged-but-uncommitted data must survive a concurrent vacuum)
+    assert t.vacuum() == []
+    assert t.read(snapshot_id=2).count() == 3
+    removed = t.vacuum(grace_seconds=0)   # maintenance window: no writers
     assert removed                    # snapshot 1's files were reclaimed
     assert t.read().count() == 3      # current snapshot untouched
     assert t.orphan_files() == []
+
+
+def test_concurrent_commit_loses_loudly(spark, tmp_path):
+    """Two writers racing to the same snapshot id: exactly one wins; the
+    loser gets ConcurrentCommitError instead of silently clobbering the
+    winner's manifest (lost commit)."""
+    from aezspark.tables import ConcurrentCommitError
+
+    t = SnapshotTable(spark, str(tmp_path / "t"))
+    t.overwrite(_df(spark, 0, 10))
+    files_a = t._write_data_files(_df(spark, 10, 20))
+    files_b = t._write_data_files(_df(spark, 20, 40))
+    base = t.snapshot()["files"]
+    schema = _df(spark, 0, 1).schema.json()
+    # writer A commits first at sid=2
+    t._commit(base + files_a, schema, "append")
+    # writer B computed the same parent before A's commit → same sid → loses
+    import json, os as _os
+    with pytest.raises(ConcurrentCommitError):
+        # replay B's stale view: force sid collision by restoring the hint
+        hint = _os.path.join(t.meta_dir, "version-hint.txt")
+        with open(hint, "w") as f:
+            f.write("1")
+        t._commit(base + files_b, schema, "append")
+    # recovery: recompute parent (re-read hint) and retry
+    with open(_os.path.join(t.meta_dir, "version-hint.txt"), "w") as f:
+        f.write("2")
+    sid = t._commit(t.snapshot()["files"] + files_b, schema, "append")
+    assert sid == 3
+    assert t.read().count() == 10 + 10 + 20
 
 
 def test_documents_pipeline_over_snapshot_table(spark, world, tmp_path):

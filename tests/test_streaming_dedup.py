@@ -1,21 +1,19 @@
 """Custom stateful streaming operator: applyInPandasWithState exact dedup
-must emit each text-hash once across micro-batches, and the union of emitted
-hashes must equal the batch exact_dedup's hash set."""
+must emit each doc-content hash once across micro-batches, keyed on the FULL
+span sequence (not spans[0].text — docs whose first span is media all carry
+text '' and must NOT collapse into one group)."""
 
 import os
 
 from pyspark.sql import functions as F
 
-from aezspark import corpus, streaming as st
+from aezspark import streaming as st
 
 
 def _write_doc_files(spark, in_dir, rows_per_file):
     os.makedirs(in_dir, exist_ok=True)
     for i, rows in enumerate(rows_per_file):
-        df = spark.createDataFrame(
-            [(d, [{"kind": "text", "text": t, "media_ref": "", "offset": 0}])
-             for d, t in rows],
-            st.DOC_SCHEMA)
+        df = spark.createDataFrame(rows, st.DOC_SCHEMA)
         df.coalesce(1).write.mode("overwrite").parquet(f"{in_dir}/_tmp{i}")
         src = f"{in_dir}/_tmp{i}"
         for f in os.listdir(src):
@@ -25,16 +23,16 @@ def _write_doc_files(spark, in_dir, rows_per_file):
         shutil.rmtree(src)
 
 
-def test_streaming_dedup_emits_each_hash_once(spark, tmp_path):
-    in_dir = str(tmp_path / "in")
-    out_dir = str(tmp_path / "out")
-    ckpt = str(tmp_path / "ckpt")
-    # file 0: a,b share text T1; c has T2. file 1: d re-sends T1 (cross-batch
-    # dup), e has T3.
-    _write_doc_files(spark, in_dir, [
-        [("a", "T1"), ("b", "T1"), ("c", "T2")],
-        [("d", "T1"), ("e", "T3")],
-    ])
+def _text_doc(d, t):
+    return (d, [{"kind": "text", "text": t, "media_ref": "", "offset": 0}])
+
+
+def _media_doc(d, ref):
+    return (d, [{"kind": "media", "text": "", "media_ref": ref, "offset": 0},
+                {"kind": "text", "text": "tail", "media_ref": "", "offset": 1}])
+
+
+def _run_dedup(spark, in_dir, out_dir, ckpt):
     stream = st.stream_documents(spark, in_dir, max_files_per_trigger=1)
     q = (st.streaming_exact_dedup(stream)
          .writeStream.format("parquet")
@@ -43,22 +41,55 @@ def test_streaming_dedup_emits_each_hash_once(spark, tmp_path):
          .trigger(availableNow=True)
          .start())
     q.awaitTermination(120)
-    got = {r.text_hash: r.canonical_doc_id
-           for r in spark.read.parquet(out_dir).collect()}
-    # batch-side truth: 3 distinct texts
-    docs = spark.createDataFrame(
-        [(d, t) for d, t in
-         [("a", "T1"), ("b", "T1"), ("c", "T2"), ("d", "T1"), ("e", "T3")]],
-        "doc_id STRING, text STRING")
-    batch = {r.text_hash: r.canonical_doc_id
-             for r in corpus.exact_dedup(docs).collect()}
+    return {r.text_hash: r.canonical_doc_id
+            for r in spark.read.parquet(out_dir).collect()}
+
+
+def _batch_truth(spark, rows):
+    """Batch-side truth with the SAME doc-level key the stream uses."""
+    docs = spark.createDataFrame(rows, st.DOC_SCHEMA)
+    return {r.text_hash: r.canonical_doc_id
+            for r in (docs.select(st.doc_content_hash().alias("text_hash"),
+                                  "doc_id")
+                      .groupBy("text_hash")
+                      .agg(F.min("doc_id").alias("canonical_doc_id"))
+                      .collect())}
+
+
+def test_streaming_dedup_emits_each_hash_once(spark, tmp_path):
+    in_dir = str(tmp_path / "in")
+    # file 0: a,b share text T1; c has T2. file 1: d re-sends T1 (cross-batch
+    # dup), e has T3.
+    files = [
+        [_text_doc("a", "T1"), _text_doc("b", "T1"), _text_doc("c", "T2")],
+        [_text_doc("d", "T1"), _text_doc("e", "T3")],
+    ]
+    _write_doc_files(spark, in_dir, files)
+    got = _run_dedup(spark, in_dir, str(tmp_path / "out"), str(tmp_path / "ckpt"))
+    batch = _batch_truth(spark, [r for f in files for r in f])
     assert set(got) == set(batch)          # same hash universe, emitted once
     assert len(got) == 3
     # within-batch min: T1's canonical is 'a' (file 0); 'd' never re-emits
-    assert got[batch_key(batch, "a")] == "a"
-    assert got[batch_key(batch, "c")] == "c"
-    assert got[batch_key(batch, "e")] == "e"
+    assert got[_key(batch, "a")] == "a"
+    assert got[_key(batch, "c")] == "c"
+    assert got[_key(batch, "e")] == "e"
 
 
-def batch_key(batch: dict, canonical: str) -> str:
+def test_media_leading_docs_do_not_collapse(spark, tmp_path):
+    """Regression (round-2 advice): hashing spans[0].text collapsed every
+    media-leading doc (text '') into one group. The doc-level key must keep
+    distinct media docs distinct and still dedup true full-sequence dups."""
+    in_dir = str(tmp_path / "in")
+    files = [
+        [_media_doc("m1", "media://img/0001"), _media_doc("m2", "media://img/0002")],
+        [_media_doc("m3", "media://img/0001")],  # exact dup of m1's sequence
+    ]
+    _write_doc_files(spark, in_dir, files)
+    got = _run_dedup(spark, in_dir, str(tmp_path / "out"), str(tmp_path / "ckpt"))
+    # two distinct media docs → two groups; m3 deduped against m1
+    assert len(got) == 2
+    assert sorted(got.values()) == ["m1", "m2"]
+
+
+def _key(batch: dict, canonical: str) -> str:
     return next(h for h, d in batch.items() if d == canonical)
