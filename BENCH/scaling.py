@@ -98,7 +98,7 @@ def main():
     stage_rows = "\n".join([
         srow("scan_parse_index_s", "scan + span explode + geo parse + cell index"),
         srow("pip_knn_tile_kernel_s", "fused PIP + kNN + tile-lookup kernel (delta)"),
-        srow("distinct_zonal_agg_s", "distinct-doc shuffle + zonal agg (delta)"),
+        srow("distinct_zonal_agg_s", "partition-local doc dedup + zonal agg (delta)"),
         srow("full_pipeline_s", "full pipeline (single action)"),
     ])
 
@@ -149,18 +149,21 @@ the output-sensitive PIP kernel, and ring-local kNN.)
 {stage_rows}
 
 Deltas are measured by running each pipeline prefix as its own action
-(BENCH_STAGES=1 in bench.py), so they are upper bounds that include re-run
-prefix cost. Reading:
+(BENCH_STAGES=1 in bench.py), clamped at 0, so they are upper bounds that
+include re-run prefix cost (with a warm page cache the re-run prefix is
+usually faster than its first measurement — the clamp plus this note replaces
+pretending the bound is tight). Reading:
 - the **Arrow kernel scales ~4×** (embarrassingly parallel, no cross-batch
   state) — the engine's own compute is not the bottleneck;
 - **scan+parse** scales with task count; with 32 MB splits the 1.4 GB corpus
   is 44 tasks and wave quantization is gone (the raw parquet scan alone runs
   at page-cache speed, ~1.5 s for 1.4 GB);
-- the **distinct-doc shuffle is the non-scaling residue** (~2.5×): 20M rows
-  of (country, aez, doc_id) written+read through the single host's memory
-  bus. On a real 4N-executor cluster, shuffle bandwidth scales with node
-  count — this is precisely the resource a single box cannot scale, and why
-  the ≥10M-doc efficiency numbers above are the honest sandbox evidence.
+- round 2's non-scaling residue was the **distinct-doc shuffle** (20M rows of
+  (country, aez, doc_id) written+read through the single host's memory bus).
+  Round 3 removed that shuffle entirely: docs are partition-local through the
+  narrow assignment chain, so `doc_zone_counts(doc_local=True)` dedups inside
+  each partition and shuffles only the per-partition (country, aez, n)
+  partials — a few thousand rows regardless of corpus size.
 
 ## Broadcast ↔ SMJ tile-path crossover
 
