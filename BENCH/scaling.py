@@ -97,8 +97,9 @@ def main():
 
     stage_rows = "\n".join([
         srow("scan_parse_index_s", "scan + span explode + geo parse + cell index"),
-        srow("pip_knn_tile_kernel_s", "fused PIP + kNN + tile-lookup kernel (delta)"),
-        srow("distinct_zonal_agg_s", "partition-local doc dedup + zonal agg (delta)"),
+        srow("pip_knn_tile_kernel_s",
+             "fused PIP + kNN + tile-lookup + in-kernel doc dedup (delta)"),
+        srow("distinct_zonal_agg_s", "final partial-count rollup (delta)"),
         srow("full_pipeline_s", "full pipeline (single action)"),
     ])
 
@@ -160,10 +161,14 @@ pretending the bound is tight). Reading:
   at page-cache speed, ~1.5 s for 1.4 GB);
 - round 2's non-scaling residue was the **distinct-doc shuffle** (20M rows of
   (country, aez, doc_id) written+read through the single host's memory bus).
-  Round 3 removed that shuffle entirely: docs are partition-local through the
-  narrow assignment chain, so `doc_zone_counts(doc_local=True)` dedups inside
-  each partition and shuffles only the per-partition (country, aez, n)
-  partials — a few thousand rows regardless of corpus size.
+  Round 3 removed it in two steps: first `doc_zone_counts(doc_local=True)`
+  (docs are partition-local through the narrow assignment chain, so the dedup
+  runs per partition — but as a SECOND Arrow kernel it paid a full join-output
+  round trip, measured as the largest stage), then full fusion: the dedup and
+  partial count now run INSIDE the assign kernel
+  (`assign_points(emit='zone_counts')`), so match rows never cross the Arrow
+  boundary and the single shuffle carries a few thousand (country, aez, n)
+  partials regardless of corpus size.
 
 ## Broadcast ↔ SMJ tile-path crossover
 

@@ -440,6 +440,17 @@ def q_ivf_topk(spark, sf_dir):
             .select("vec_id", _r(F.col("cosine"), 6).alias("cosine")))
 
 
+def q_ivf_topk_nprobe(spark, sf_dir):
+    """IVF multi-probe ANN (nprobe=3): the recall dial of the inverted-file
+    shape — the query's 3 nearest coarse lists are probed instead of 1, at
+    probe-proportional cost. The oracle ranks vec 0's centroids in SQL with
+    the identical (dot desc, id desc) tie rule."""
+    emb = _t(spark, sf_dir, "embeddings")
+    q = _query_vec(spark, sf_dir)
+    return (corpus.ivf_topk(emb, q, corpus.ivf_centroids(64, 8), k=10, nprobe=3)
+            .select("vec_id", _r(F.col("cosine"), 6).alias("cosine")))
+
+
 def q_media_frame_sample(spark, sf_dir):
     """Multimodal row expansion: video spans → deterministic frame rows
     (real Arrow 1→N plumbing; fake payload — no codecs in this container)."""
@@ -674,10 +685,20 @@ def q_sp_within_distance(spark, sf_dir):
 
 
 def q_sp_doc_zone_counts(spark, sf_dir):
-    # doc_local: _doc_assignment is narrow ops + a broadcast tile join, so
-    # docs are partition-local and the dedup needs no doc_id shuffle — this
-    # registers the at-scale plan shape under the full value-parity gate
-    return (docs_mod.doc_zone_counts(_doc_assignment(spark), doc_local=True)
+    """The production flagship aggregation under the full value-parity gate:
+    ONE Arrow kernel fusing PIP + kNN + tile lookup + partition-local
+    distinct-doc dedup (assign_points emit='zone_counts') — match rows never
+    cross the Arrow boundary; the shuffle carries only (country, aez, n)
+    partials. The composed forms (with_aez + doc_zone_counts / doc_local)
+    are parity-pinned in tests/test_doc_zone_counts.py."""
+    from aezspark.joins import tile_lookup_broadcast
+
+    w = _world(spark)
+    key = "_tile_lookup"
+    if not hasattr(w, key):
+        setattr(w, key, tile_lookup_broadcast(spark, w.tiles()))
+    return (docs_mod.assign_zone_counts(w.documents(), w.bidx,
+                                        getattr(w, key), w.fine)
             .select("country", "aez_code", "n_docs"))
 
 
@@ -726,6 +747,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_topk": q_ann_topk,
         "ivf_assign": q_ivf_assign,
         "ivf_topk": q_ivf_topk,
+        "ivf_topk_nprobe": q_ivf_topk_nprobe,
         "media_features": q_media_features,
         "media_frame_sample": q_media_frame_sample,
         "streaming_dedup": q_streaming_dedup,
@@ -835,6 +857,16 @@ def _ivf_assign_sql() -> str:
             f" FROM (SELECT vec_id, {dots} FROM "
             "(SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE))"
             " AS ev FROM embeddings)))")
+
+
+def _ivf_probe_scores_sql() -> str:
+    """One (centroid id, dot) row per coarse centroid for the query vector
+    (vec 0) — the SQL side of query_probe_lists' nprobe ranking."""
+    cents = corpus.ivf_centroids(64, 8)
+    lits = ["[" + ", ".join(f"{v:.17g}" for v in row) + "]" for row in cents]
+    return " UNION ALL ".join(
+        f"SELECT {i} AS c, list_dot_product(ev, {p}) AS d FROM qv"
+        for i, p in enumerate(lits))
 
 
 _KM2_SQL = """
@@ -1106,6 +1138,14 @@ def oracle_sql() -> dict[str, str]:
                          "WHERE a.centroid_id = qc.centroid_id)"),
             lead_ctes=(f"ca AS ({_ivf_assign_sql()}),\n"
                        "qc AS (SELECT centroid_id FROM ca WHERE vec_id = 0),\n")),
+        "ivf_topk_nprobe": _emb_cosine_sql(
+            extra_where=("WHERE vec_id IN (SELECT a.vec_id FROM ca a, qc "
+                         "WHERE a.centroid_id = qc.c)"),
+            lead_ctes=(f"ca AS ({_ivf_assign_sql()}),\n"
+                       f"qv AS (SELECT list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ev"
+                       f" FROM embeddings WHERE vec_id = 0),\n"
+                       f"qscore AS ({_ivf_probe_scores_sql()}),\n"
+                       "qc AS (SELECT c FROM qscore ORDER BY d DESC, c DESC LIMIT 3),\n")),
         "media_frame_sample": f"""
             SELECT doc_id, CAST(i - 1 AS INT) AS span_idx, mid AS media_id,
                    CAST(f AS INT) AS frame_idx,

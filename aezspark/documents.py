@@ -61,6 +61,29 @@ def assign_documents(docs: DataFrame, index, index_res: int = 6,
     return assign_points(pts, index, knn_fallback=knn_fallback)
 
 
+def assign_zone_counts(docs: DataFrame, index, tile_lookup,
+                       fine: GridSpec) -> DataFrame:
+    """The fully-fused flagship aggregation: span explode → geo parse → cell
+    index → ONE Arrow kernel doing PIP + kNN + tile lookup + partition-local
+    distinct-doc dedup + partial zonal count — match rows NEVER cross the
+    Arrow boundary; each partition emits only (country, aez_code, n) partials
+    and the single shuffle carries those few-thousand rows. Identical values
+    to doc_zone_counts(with_aez(assign_documents(...)))
+    (tests/test_doc_zone_counts.py pins the parity).
+
+    The kernel input is projected to exactly (doc_id, lat, lon) — span_idx /
+    offset / index_cell are dead weight for a count-only consumer, and
+    mapInPandas transfers its ENTIRE input schema across the Arrow boundary
+    (Catalyst cannot prune into a Python kernel), so the projection must
+    happen before the kernel, not inside it. ~40% less Arrow traffic on the
+    bus-bound stage."""
+    pts = geo_points(docs).select("doc_id", "lat", "lon")
+    partials = assign_points(pts, index, tile_lookup=tile_lookup, fine=fine,
+                             project=["doc_id"], emit="zone_counts")
+    return (partials.groupBy("country", "aez_code")
+            .agg(F.sum("n_docs").alias("n_docs")))
+
+
 def with_aez(assigned: DataFrame, tiles_df: DataFrame, fine: GridSpec,
              broadcast_tiles: bool = True) -> DataFrame:
     """Enrich assigned points with the AEZ tile code of their fine-grid pixel.

@@ -140,7 +140,8 @@ def assign_points(points: DataFrame, index, lat_col: str = "lat",
                   lon_col: str = "lon", knn_fallback: bool = True,
                   many_to_many: bool = True, tile_lookup=None,
                   fine: GridSpec | None = None,
-                  project: list[str] | None = None) -> DataFrame:
+                  project: list[str] | None = None,
+                  emit: str = "rows") -> DataFrame:
     """Broadcast PIP join of arbitrary points; optional kNN nearest-zone
     fallback for points inside no polygon (SURVEY §2.9 #4).
 
@@ -157,7 +158,23 @@ def assign_points(points: DataFrame, index, lat_col: str = "lat",
     project: input columns to keep in the output (default: all). Projecting
     INSIDE the kernel matters at scale — dropped columns never cross the
     Arrow boundary back to the JVM nor enter the downstream shuffle.
-    """
+
+    emit='zone_counts' fuses the partition-local distinct-doc zonal count
+    (documents.doc_zone_counts doc_local semantics) INTO this kernel: match
+    rows never cross the Arrow boundary at all — each partition emits only
+    its (country, aez_code, n_docs) partials; finish with
+    groupBy(country, aez_code).sum. Requires tile_lookup and a doc_id input
+    column; the co-location precondition is automatic here because the dedup
+    happens in the SAME kernel that produced the matches. Aggregation pushed
+    into the join — the 10¹²-doc shape where the join output (≈ input rows ×
+    match multiplicity) is the dominant data volume."""
+    if emit not in ("rows", "zone_counts"):
+        raise ValueError(f"assign_points: unknown emit mode {emit!r}")
+    if emit == "zone_counts":
+        if tile_lookup is None:
+            raise ValueError("assign_points(emit='zone_counts') requires tile_lookup")
+        if "doc_id" not in [f.name for f in points.schema.fields]:
+            raise ValueError("assign_points(emit='zone_counts') requires a doc_id column")
     spark = points.sparkSession
     bidx = index if hasattr(index, "value") else broadcast_index(spark, index)
 
@@ -213,7 +230,36 @@ def assign_points(points: DataFrame, index, lat_col: str = "lat",
                     out["aez_code"] = np.where(hit, codes[pos_c], 255).astype(np.int32)
             yield out[out_cols]
 
-    return points.mapInPandas(kernel, schema)
+    if emit == "rows":
+        return points.mapInPandas(kernel, schema)
+
+    if "doc_id" not in keep:
+        raise ValueError("assign_points(emit='zone_counts'): doc_id must "
+                         "survive the projection")
+    zc_schema = T.StructType([
+        T.StructField("country", T.StringType()),
+        T.StructField("aez_code", T.IntegerType()),
+        T.StructField("n_docs", T.LongType())])
+
+    def zc_kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        # composed over the row kernel: per-batch dedup bounds working-set
+        # growth, the cross-batch concat+dedup holds only this partition's
+        # DISTINCT (country, aez, doc) triples
+        parts = []
+        for out in kernel(batches):
+            if len(out):
+                parts.append(out[["country", "aez_code", "doc_id"]]
+                             .drop_duplicates())
+        if not parts:
+            return
+        allp = pd.concat(parts, ignore_index=True).drop_duplicates()
+        agg = (allp.groupby(["country", "aez_code"], sort=False)
+               .size().reset_index(name="n_docs"))
+        yield pd.DataFrame({"country": agg["country"],
+                            "aez_code": agg["aez_code"].astype("int32"),
+                            "n_docs": agg["n_docs"].astype("int64")})
+
+    return points.mapInPandas(zc_kernel, zc_schema)
 
 
 def within_distance_join(points: DataFrame, index, d_deg: float,

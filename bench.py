@@ -61,15 +61,12 @@ def _flagship(spark, n_docs: int):
         _WORLD_CACHE[id(spark)] = (w, tl)
     w, tl = _WORLD_CACHE[id(spark)]
     docs = w.documents()
-    # fused kernel path: PIP + kNN + tile lookup in ONE Arrow pass; only the
-    # columns the zonal count needs leave the kernel
-    pts = docs_mod.indexed_points(docs)
-    enriched = assign_points(pts, w.bidx, tile_lookup=tl, fine=w.fine,
-                             project=["doc_id"])
-    # doc_local: the chain above is shuffle-free, so docs are partition-local
-    # and the distinct-doc dedup runs inside each partition — no doc_id ever
-    # crosses a shuffle (the round-2 scaling bottleneck)
-    out = docs_mod.doc_zone_counts(enriched, doc_local=True)
+    # fully-fused kernel path: PIP + kNN + tile lookup + partition-local
+    # distinct-doc dedup + partial zonal count in ONE Arrow pass — match rows
+    # never leave the kernel; the single shuffle carries only the
+    # per-partition (country, aez, n) partials (round 2's 20M-row distinct
+    # shuffle AND round 3's interim second kernel pass are both gone)
+    out = docs_mod.assign_zone_counts(docs, w.bidx, tl, w.fine)
     return out.agg(F.sum("n_docs")).collect()[0][0]
 
 
@@ -150,12 +147,12 @@ def _flagship_stages(spark, n_docs: int) -> dict:
     pts.count()
     t1 = time.monotonic()
     out["scan_parse_index_s"] = round(t1 - t0, 2)
-    enriched = assign_points(pts, w.bidx, tile_lookup=tl, fine=w.fine,
-                             project=["doc_id"])
-    enriched.count()
+    partials = assign_points(pts, w.bidx, tile_lookup=tl, fine=w.fine,
+                             project=["doc_id"], emit="zone_counts")
+    partials.count()
     t2 = time.monotonic()
     out["pip_knn_tile_kernel_s"] = round(max((t2 - t1) - (t1 - t0), 0.0), 2)
-    (docs_mod.doc_zone_counts(enriched, doc_local=True)
+    (docs_mod.assign_zone_counts(docs, w.bidx, tl, w.fine)
      .agg(F.sum("n_docs")).collect())
     t3 = time.monotonic()
     out["distinct_zonal_agg_s"] = round(max((t3 - t2) - (t2 - t1), 0.0), 2)

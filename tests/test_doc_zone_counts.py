@@ -52,3 +52,28 @@ def test_doc_local_precondition_is_load_bearing(spark):
     local = _as_dict(docs_mod.doc_zone_counts(df, doc_local=True))
     assert exact[("X", 1)] == 2
     assert local[("X", 1)] > exact[("X", 1)]
+
+
+def test_fused_kernel_equals_composed(spark, world):
+    """assign_points(emit='zone_counts') — dedup + partial count fused into
+    the assign kernel — must equal the composed pipeline exactly."""
+    from aezspark.joins import tile_lookup_broadcast
+
+    tl = tile_lookup_broadcast(spark, world.tiles())
+    fused = _as_dict(docs_mod.assign_zone_counts(world.documents(),
+                                                 world.bidx, tl, world.fine))
+    composed = _as_dict(docs_mod.doc_zone_counts(_enriched(world)))
+    assert fused == composed and sum(fused.values()) > 0
+
+
+def test_fused_kernel_validates_inputs(spark, world):
+    import pytest
+    from aezspark.joins import assign_points, tile_lookup_broadcast
+
+    pts = docs_mod.indexed_points(world.documents())
+    with pytest.raises(ValueError, match="requires tile_lookup"):
+        assign_points(pts, world.bidx, emit="zone_counts")
+    tl = tile_lookup_broadcast(spark, world.tiles())
+    with pytest.raises(ValueError, match="doc_id must survive"):
+        assign_points(pts, world.bidx, tile_lookup=tl, fine=world.fine,
+                      project=["span_idx"], emit="zone_counts")

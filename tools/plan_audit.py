@@ -73,6 +73,10 @@ def main():
         docs_mod.doc_zone_counts(docs_mod.with_aez(
             docs_mod.assign_documents(w.documents(), w.bidx),
             w.tiles(), w.fine), doc_local=True)))()
+    from aezspark.joins import tile_lookup_broadcast
+
+    plans["flagship_fused"] = docs_mod.assign_zone_counts(
+        w.documents(), w.bidx, tile_lookup_broadcast(spark, w.tiles()), w.fine)
     plans["embedding_neardup"] = E.q_embedding_neardup(spark, sf)
     plans["within_distance"] = E.q_sp_within_distance(spark, sf)
     plans["simhash"] = E.q_simhash(spark, sf)
@@ -135,6 +139,10 @@ Notes:
   doc_local — docs never cross partitions in this chain, so NO doc_id enters
   any Exchange; only (country, aez, n) partials shuffle) → zone rollup. The
   polygon index and tile array ride SparkContext broadcasts.
+- **flagship_fused** (round 3, the benched production path): the dedup and
+  partial count run INSIDE the assign kernel (`emit='zone_counts'`) — one
+  MapInPandas, one Exchange carrying only per-partition (country, aez, n)
+  partials; join output rows never cross the Arrow boundary at all.
 - **simhash** (round 3): one row per token through the single groupBy — the
   16 per-bit sums are conditional aggregates on the same row, so the shuffle
   carries |tokens| rows (was 16·|tokens| with the J-explode).
