@@ -463,18 +463,28 @@ def ivf_assign(embeddings: DataFrame, centroids: list[list[float]]) -> DataFrame
     return embeddings.select("vec_id", top["i"].alias("centroid_id"))
 
 
+def query_probe_lists(query_vec: list[float], centroids: list[list[float]],
+                      nprobe: int) -> list[int]:
+    """The query's nprobe highest-dot coarse lists, driver-side (ties → higher
+    centroid id first, matching ivf_assign's tie rule) — injected as literals
+    into both the Spark plan and the oracle SQL."""
+    scored = sorted(((sum(a * b for a, b in zip(query_vec, c)), i)
+                     for i, c in enumerate(centroids)),
+                    key=lambda t: (-t[0], -t[1]))
+    return [i for _, i in scored[:nprobe]]
+
+
 def ivf_topk(embeddings: DataFrame, query_vec: list[float],
-             centroids: list[list[float]], k: int = 10) -> DataFrame:
-    """IVF single-probe ANN top-k: restrict the exact cosine scan to the
-    query's coarse list. Complements ann_topk (sign-LSH buckets) with the
-    inverted-file shape; recall grows with nprobe (out of scope here — the
-    oracle pins single-probe)."""
-    best, qc = None, 0
-    for i, c in enumerate(centroids):
-        d = sum(a * b for a, b in zip(query_vec, c))
-        if best is None or d > best or (d == best and i > qc):
-            best, qc = d, i
-    members = ivf_assign(embeddings, centroids).filter(F.col("centroid_id") == qc)
+             centroids: list[list[float]], k: int = 10,
+             nprobe: int = 1) -> DataFrame:
+    """IVF ANN top-k: restrict the exact cosine scan to the query's nprobe
+    nearest coarse lists. Complements ann_topk (sign-LSH buckets) with the
+    inverted-file shape; recall grows with nprobe at probe-proportional cost
+    (the list restriction is an isin over driver-side literal ids — at scale,
+    partition pruning on the centroid_id partition key)."""
+    probes = query_probe_lists(query_vec, centroids, nprobe)
+    members = ivf_assign(embeddings, centroids).filter(
+        F.col("centroid_id").isin(probes))
     cand = embeddings.join(members.select("vec_id"), "vec_id")
     return cosine_topk(cand, query_vec, k)
 
