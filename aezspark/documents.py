@@ -175,7 +175,11 @@ def doc_zone_counts(assigned_aez: DataFrame, doc_local: bool = False) -> DataFra
             if not parts:
                 return
             allp = pd.concat(parts, ignore_index=True).drop_duplicates()
-            out = (allp.groupby(["country", "aez_code"], sort=False)
+            # dropna=False: Spark's groupBy counts null-keyed groups, so the
+            # doc_local form must too (e.g. country nulls with knn_fallback
+            # disabled) — pandas' default dropna=True would silently diverge
+            out = (allp.groupby(["country", "aez_code"], sort=False,
+                                dropna=False)
                    .size().reset_index(name="n_docs"))
             yield pd.DataFrame({
                 "country": out["country"],

@@ -37,6 +37,34 @@ def read_slope_fao(spark: SparkSession, fx_dir: str) -> DataFrame:
     return out
 
 
+def assemble_slope_fao(spark: SparkSession, fx_dir: str) -> DataFrame:
+    """FAO slope band assembly (data/FAO/classify_slope.py:41-63): the 8
+    single-band GloSlopesCl{1..8}_30as files assembled into ONE wide 8-band
+    table — the engine form of the reference's band-by-band WriteArray loop
+    into a 9-band sparse GeoTIFF. Per-band NoData (255) values pass through
+    unchanged; a pixel that is NoData in EVERY band is dropped entirely (the
+    sparse-output semantics: an all-NoData block is never written,
+    SPARSE_OK=TRUE + SetNoDataValue). The reference script contains no
+    classification math — the geomorpho90m variant with the floor-mean
+    classification is decoders.classify_slope.
+
+    Plan shape: tagged union scan (S6) → 8 conditional MAX aggregates on the
+    pixel key — one shuffle, no 8-way self-join; at planet scale the 8 scans
+    are band-aligned parquet reads and the aggregation is map-side partial
+    per file split."""
+    from pyspark.sql import functions as F
+
+    long = read_slope_fao(spark, fx_dir)
+    wide = (long.groupBy("cell_id", "y", "x")
+            .agg(*[F.max(F.when(F.col("band") == b, F.col("pct")))
+                   .cast("int").alias(f"cl{b}") for b in range(1, 9)]))
+    any_data = None
+    for b in range(1, 9):
+        c = F.col(f"cl{b}") != 255
+        any_data = c if any_data is None else (any_data | c)
+    return wide.filter(any_data)
+
+
 def read_boundaries(spark: SparkSession, fx_dir: str) -> DataFrame:
     return spark.read.parquet(os.path.join(fx_dir, "boundaries.parquet"))
 

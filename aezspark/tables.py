@@ -18,8 +18,10 @@ Guarantees (tested):
     leaves orphan data files but never a torn table;
   * append/overwrite are snapshot-isolated: a reader that planned from
     snapshot N is unaffected by a concurrent commit of N+1;
-  * concurrent committers: optimistic concurrency — the manifest is created
-    O_EXCL, so of two writers racing to the same snapshot id exactly one
+  * concurrent committers: optimistic concurrency — the manifest is staged to
+    a tmp file and published via an atomic os.link create-if-absent CAS
+    (readers never see a partial manifest), so of two writers racing to the
+    same snapshot id exactly one
     wins and the other raises ConcurrentCommitError (retry with a fresh
     parent); no commit is ever silently overwritten;
   * vacuum honors a grace window (remove-orphans older-than), so it cannot
@@ -100,8 +102,9 @@ class SnapshotTable:
         return files
 
     def _commit(self, files: list[str], schema_json: str, operation: str) -> int:
-        """Optimistic-concurrency commit: the snapshot manifest is created
-        with O_EXCL, so when two writers race to sid = parent+1 exactly one
+        """Optimistic-concurrency commit: the snapshot manifest is written to
+        a tmp file and published with an atomic os.link create-if-absent CAS,
+        so when two writers race to sid = parent+1 exactly one
         wins and the loser fails LOUDLY with ConcurrentCommitError (retry =
         recompute parent and re-commit; the data files are already safe in
         data/ and are reused). This is the same compare-and-swap shape as
@@ -120,15 +123,27 @@ class SnapshotTable:
             "summary": {"n_files": len(files)},
         }
         snap_path = os.path.join(self.meta_dir, f"snap-{sid}.json")
+        # Write the FULL manifest to a private tmp file first, then publish it
+        # with os.link — an atomic create-if-absent CAS. Readers can therefore
+        # never observe a partially-written manifest at its final name, and a
+        # crash mid-write leaves only a harmless tmp file (vs. a torn
+        # snap-<N>.json that would both break snapshots() and permanently
+        # block every future commit at that id).
+        tmp_path = os.path.join(self.meta_dir,
+                                f".snap-{sid}.{uuid.uuid4().hex}.tmp")
+        with open(tmp_path, "w") as f:
+            json.dump(snap, f, indent=2, sort_keys=True)
+            f.flush()
+            os.fsync(f.fileno())
         try:
-            fd = os.open(snap_path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+            os.link(tmp_path, snap_path)
         except FileExistsError:
             raise ConcurrentCommitError(
                 f"snapshot {sid} already exists at {snap_path}: another "
                 f"writer committed first (retry the commit), or a crashed "
                 f"commit left an orphan manifest (delete that file)") from None
-        with os.fdopen(fd, "w") as f:
-            json.dump(snap, f, indent=2, sort_keys=True)
+        finally:
+            os.unlink(tmp_path)
         # the commit point: one atomic pointer swap
         tmp_hint = self._hint_path + f".tmp.{uuid.uuid4().hex}"
         with open(tmp_hint, "w") as f:
