@@ -20,6 +20,7 @@ is stable across engines.
 
 from __future__ import annotations
 
+import json
 import os
 from collections.abc import Callable
 
@@ -430,11 +431,67 @@ def q_ann_buckets(spark, sf_dir):
     return corpus.lsh_bucket_ids(emb, planes)
 
 
+_ANN_INDEX_BASE = "/root/repo/build/ann_index"
+_ANN_INDEX_CACHE: dict = {}
+_TRAINED_CENTROIDS_CACHE: dict = {}
+
+
+def _ensure_ann_index(spark, sf_dir: str, name: str, build_fn,
+                      params_key: str):
+    """Build-once materialized ANN index (the offline CTAS): written
+    partitionBy(probe key) so probe queries are partition-pruned reads —
+    the round-3 registered probes recomputed assignments with a full scan
+    each query, an unpruned scan at 100 TB. Staleness is keyed by a params
+    hash (centroid/plane literals), so retraining or code changes rebuild."""
+    import hashlib as _hl
+
+    sf_name = os.path.basename(os.path.normpath(sf_dir))
+    path = os.path.join(_ANN_INDEX_BASE, sf_name, name)
+    digest = _hl.md5(params_key.encode()).hexdigest()
+    if _ANN_INDEX_CACHE.get(path) != digest:
+        marker = os.path.join(path, "_params.json")
+        stale = True
+        if os.path.exists(marker) and os.path.exists(
+                os.path.join(path, "_SUCCESS")):
+            with open(marker) as f:
+                stale = json.load(f).get("digest") != digest
+        if stale:
+            build_fn(path)
+            with open(marker, "w") as f:
+                json.dump({"digest": digest}, f)
+        _ANN_INDEX_CACHE[path] = digest
+    return spark.read.parquet(path)
+
+
+def _trained_ivf_centroids(spark, sf_dir: str) -> list[list[float]]:
+    """Seeded k-means IVF centroids trained via Spark DataFrame ops on this
+    corpus (Lloyd, 4 iterations, ivf_centroids seed init). Deterministic and
+    bit-identical to the numpy mirror the oracle injects as literals
+    (tests/test_ivf_train.py pins the equality)."""
+    key = os.path.normpath(sf_dir)
+    if key not in _TRAINED_CENTROIDS_CACHE:
+        _TRAINED_CENTROIDS_CACHE[key] = corpus.ivf_train(
+            _t(spark, sf_dir, "embeddings"), corpus.ivf_centroids(64, 8),
+            iters=4)
+    return _TRAINED_CENTROIDS_CACHE[key]
+
+
+def _cents_key(cents) -> str:
+    return ";".join(",".join(f"{v:.17g}" for v in row) for row in cents)
+
+
 def q_ann_topk(spark, sf_dir):
+    """Sign-LSH ANN over the MATERIALIZED bucket index: embeddings + bucket
+    written partitionBy(bucket) once (offline CTAS), probes read only the
+    query's bucket partition (PartitionFilters — tests/test_ann_index.py)."""
     emb = _t(spark, sf_dir, "embeddings")
     q = _query_vec(spark, sf_dir)
     planes = corpus.lsh_planes(64, 8)
-    return (corpus.ann_topk(emb, q, planes, k=10)
+    idx = _ensure_ann_index(
+        spark, sf_dir, "lsh8",
+        lambda p: corpus.write_lsh_index(emb, planes, p),
+        "lsh8:" + _cents_key(planes))
+    return (corpus.ann_topk_indexed(idx, q, planes, k=10)
             .select("vec_id", _r(F.col("cosine"), 6).alias("cosine")))
 
 
@@ -444,20 +501,36 @@ def q_ivf_assign(spark, sf_dir):
 
 
 def q_ivf_topk(spark, sf_dir):
+    """IVF ANN over the MATERIALIZED index (seed centroids): single-probe
+    read of one centroid_id partition — no assignment recompute, no full
+    scan (PartitionFilters verified in tests/test_ann_index.py)."""
     emb = _t(spark, sf_dir, "embeddings")
     q = _query_vec(spark, sf_dir)
-    return (corpus.ivf_topk(emb, q, corpus.ivf_centroids(64, 8), k=10)
+    cents = corpus.ivf_centroids(64, 8)
+    idx = _ensure_ann_index(
+        spark, sf_dir, "ivf_seed",
+        lambda p: corpus.write_ivf_index(emb, cents, p),
+        "ivf:" + _cents_key(cents))
+    return (corpus.ivf_topk_indexed(idx, q, cents, k=10)
             .select("vec_id", _r(F.col("cosine"), 6).alias("cosine")))
 
 
 def q_ivf_topk_nprobe(spark, sf_dir):
-    """IVF multi-probe ANN (nprobe=3): the recall dial of the inverted-file
-    shape — the query's 3 nearest coarse lists are probed instead of 1, at
-    probe-proportional cost. The oracle ranks vec 0's centroids in SQL with
-    the identical (dot desc, id desc) tie rule."""
+    """IVF multi-probe ANN (nprobe=3) over TRAINED centroids: the coarse
+    quantizer is k-means-trained on this corpus via Spark DataFrame ops
+    (corpus.ivf_train — exact fixed-point arithmetic, so the oracle mirrors
+    the training in numpy and injects the identical literals), the index is
+    materialized partitionBy(centroid_id), and the probe reads only the 3
+    probed partitions. Closes both round-3 gaps at once: no literal-only
+    centroids, no unpruned probe scan."""
     emb = _t(spark, sf_dir, "embeddings")
     q = _query_vec(spark, sf_dir)
-    return (corpus.ivf_topk(emb, q, corpus.ivf_centroids(64, 8), k=10, nprobe=3)
+    cents = _trained_ivf_centroids(spark, sf_dir)
+    idx = _ensure_ann_index(
+        spark, sf_dir, "ivf_trained",
+        lambda p: corpus.write_ivf_index(emb, cents, p),
+        "ivf:" + _cents_key(cents))
+    return (corpus.ivf_topk_indexed(idx, q, cents, k=10, nprobe=3)
             .select("vec_id", _r(F.col("cosine"), 6).alias("cosine")))
 
 
@@ -875,8 +948,9 @@ def _ann_bucket_sql(num_planes: int = 8) -> str:
             " FROM embeddings)")
 
 
-def _ivf_assign_sql() -> str:
-    cents = corpus.ivf_centroids(64, 8)
+def _ivf_assign_sql(cents: list[list[float]] | None = None) -> str:
+    if cents is None:
+        cents = corpus.ivf_centroids(64, 8)
     lits = ["[" + ", ".join(f"{v:.17g}" for v in row) + "]" for row in cents]
     dots = ", ".join(f"list_dot_product(ev, {p}) AS d{i}"
                      for i, p in enumerate(lits))
@@ -892,10 +966,37 @@ def _ivf_assign_sql() -> str:
             " AS ev FROM embeddings)))")
 
 
-def _ivf_probe_scores_sql() -> str:
+_ORACLE_TRAIN_CACHE: dict = {}
+
+
+def _oracle_trained_centroids() -> list[list[float]]:
+    """numpy mirror of the Spark-side ivf_train for the oracle literals:
+    reads the driver's correctness-gate corpus (sf0.01; SELFCHECK_SF_DIR
+    under tools/selfcheck.py) and trains with the identical fixed-point
+    arithmetic — bit-equal to the Spark result by construction
+    (tests/test_ivf_train.py)."""
+    sf_dir = os.environ.get("SELFCHECK_SF_DIR", "/root/testdata/sf0.01")
+    key = os.path.normpath(sf_dir)
+    if key not in _ORACLE_TRAIN_CACHE:
+        import numpy as np
+        import pyarrow.parquet as pq
+
+        t = pq.read_table(os.path.join(sf_dir, "embeddings.parquet"),
+                          columns=["embedding"])
+        col = t["embedding"].combine_chunks()
+        flat = col.flatten().to_numpy(zero_copy_only=False)
+        embs = flat.reshape(len(col), -1).astype(np.float64)
+        cents, _inertia = corpus.ivf_train_numpy(
+            embs, corpus.ivf_centroids(64, 8), iters=4)
+        _ORACLE_TRAIN_CACHE[key] = cents
+    return _ORACLE_TRAIN_CACHE[key]
+
+
+def _ivf_probe_scores_sql(cents: list[list[float]] | None = None) -> str:
     """One (centroid id, dot) row per coarse centroid for the query vector
     (vec 0) — the SQL side of query_probe_lists' nprobe ranking."""
-    cents = corpus.ivf_centroids(64, 8)
+    if cents is None:
+        cents = corpus.ivf_centroids(64, 8)
     lits = ["[" + ", ".join(f"{v:.17g}" for v in row) + "]" for row in cents]
     return " UNION ALL ".join(
         f"SELECT {i} AS c, list_dot_product(ev, {p}) AS d FROM qv"
@@ -1177,10 +1278,10 @@ def oracle_sql() -> dict[str, str]:
         "ivf_topk_nprobe": _emb_cosine_sql(
             extra_where=("WHERE vec_id IN (SELECT a.vec_id FROM ca a, qc "
                          "WHERE a.centroid_id = qc.c)"),
-            lead_ctes=(f"ca AS ({_ivf_assign_sql()}),\n"
+            lead_ctes=(f"ca AS ({_ivf_assign_sql(_oracle_trained_centroids())}),\n"
                        f"qv AS (SELECT list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ev"
                        f" FROM embeddings WHERE vec_id = 0),\n"
-                       f"qscore AS ({_ivf_probe_scores_sql()}),\n"
+                       f"qscore AS ({_ivf_probe_scores_sql(_oracle_trained_centroids())}),\n"
                        "qc AS (SELECT c FROM qscore ORDER BY d DESC, c DESC LIMIT 3),\n")),
         "media_frame_sample": f"""
             SELECT doc_id, CAST(i - 1 AS INT) AS span_idx, mid AS media_id,

@@ -450,17 +450,185 @@ def ivf_centroids(dim: int, k: int = 8) -> list[list[float]]:
     return cents
 
 
-def ivf_assign(embeddings: DataFrame, centroids: list[list[float]]) -> DataFrame:
+def ivf_assign(embeddings: DataFrame, centroids: list[list[float]],
+               keep_embedding: bool = False) -> DataFrame:
     """IVF list assignment: each vector goes to its max-dot-product coarse
     centroid (ties → higher centroid id; exact fp ties are avoided by the
     irrational-ish centroid coordinates). At 100 TB the centroid id is the
-    partition key — queries touch one list (or nprobe lists), not the corpus."""
+    partition key — queries touch one list (or nprobe lists), not the corpus.
+    keep_embedding=True carries the vector through (the index-build CTAS
+    shape, write_ivf_index)."""
     entries = F.array(*[
         F.struct(_dot(F.col("embedding"), c).alias("d"),
                  F.lit(i).alias("i"))
         for i, c in enumerate(centroids)])
     top = F.sort_array(entries, asc=False)[0]
-    return embeddings.select("vec_id", top["i"].alias("centroid_id"))
+    cols = ["vec_id", top["i"].alias("centroid_id")]
+    if keep_embedding:
+        cols.append(F.col("embedding"))
+    return embeddings.select(*cols)
+
+
+# --------------------------------------------------- materialized ANN index
+
+def write_ivf_index(embeddings: DataFrame, centroids: list[list[float]],
+                    path: str) -> None:
+    """Materialize the IVF index: embeddings + centroid_id written
+    partitionBy('centroid_id') — the offline CTAS that makes probes
+    partition-pruned reads (the ANN analog of the bucketed tiles table).
+    At 100 TB this is the one full-corpus pass; every query after it reads
+    only its nprobe partitions (PartitionFilters in the scan, verified by
+    tests/test_ann_index.py and PLANS.md)."""
+    (ivf_assign(embeddings, centroids, keep_embedding=True)
+     .write.mode("overwrite").partitionBy("centroid_id").parquet(path))
+
+
+def write_lsh_index(embeddings: DataFrame, planes: list[list[float]],
+                    path: str) -> None:
+    """Materialize the sign-LSH index: embeddings + bucket written
+    partitionBy('bucket'); single- or multi-probe reads prune to the probed
+    bucket partitions."""
+    bucket = F.lit(0).cast("long")
+    for p, plane in enumerate(planes):
+        bucket = bucket + F.when(_dot(F.col("embedding"), plane) > 0,
+                                 F.lit(1 << p)).otherwise(F.lit(0)).cast("long")
+    (embeddings.select("vec_id", "embedding", bucket.alias("bucket"))
+     .write.mode("overwrite").partitionBy("bucket").parquet(path))
+
+
+def ivf_topk_indexed(index_df: DataFrame, query_vec: list[float],
+                     centroids: list[list[float]], k: int = 10,
+                     nprobe: int = 1) -> DataFrame:
+    """IVF ANN top-k over the MATERIALIZED index (read_parquet of
+    write_ivf_index output): the centroid_id filter is a literal isin over a
+    partition column, so the scan reads only the nprobe probed partitions
+    (PartitionFilters; no assignment recompute, no full-corpus scan — the
+    round-3 registered probe recomputed assignments over the whole table
+    each query, an unpruned scan at scale). Same values as ivf_topk."""
+    probes = query_probe_lists(query_vec, centroids, nprobe)
+    cand = index_df.filter(F.col("centroid_id").isin(probes))
+    return cosine_topk(cand, query_vec, k)
+
+
+def ann_topk_indexed(index_df: DataFrame, query_vec: list[float],
+                     planes: list[list[float]], k: int = 10) -> DataFrame:
+    """Sign-LSH ANN top-k over the MATERIALIZED bucket index: single-probe =
+    one partition read (PartitionFilters on bucket). Same values as
+    ann_topk."""
+    qbucket = 0
+    for p, plane in enumerate(planes):
+        if sum(a * b for a, b in zip(query_vec, plane)) > 0:
+            qbucket |= 1 << p
+    cand = index_df.filter(F.col("bucket") == qbucket)
+    return cosine_topk(cand, query_vec, k)
+
+
+# ------------------------------------------------------- k-means training
+
+KMEANS_SCALE = 1 << 20
+
+
+def _fixed(col: Column) -> Column:
+    """Fixed-point quantize a double: floor(v·2²⁰ + 0.5) as BIGINT — the
+    unambiguous round-half-up both engines implement identically."""
+    return F.floor(col * F.lit(float(KMEANS_SCALE)) + F.lit(0.5)).cast("long")
+
+
+def _l2_assign_col(centroids: list[list[float]]) -> Column:
+    """argmin_c ||x−c||² as a Column: compare −2·x·c + ||c||² (||x||² is
+    constant per row); ties → LOWER centroid id (sort asc on (score, i)).
+    ||c||² is accumulated left-to-right over dims, exactly like the numpy
+    mirror (corpus.ivf_train_numpy), so scores are bit-identical."""
+    entries = []
+    for i, c in enumerate(centroids):
+        c_norm2 = 0.0
+        for v in c:
+            c_norm2 += float(v) * float(v)
+        score = F.lit(-2.0) * _dot(F.col("embedding"), c) + F.lit(c_norm2)
+        entries.append(F.struct(score.alias("s"), F.lit(i).alias("i")))
+    return F.sort_array(F.array(*entries))[0]["i"]
+
+
+def ivf_train(embeddings: DataFrame, init_centroids: list[list[float]],
+              iters: int = 4) -> list[list[float]]:
+    """Seeded Lloyd k-means for the IVF coarse quantizer, as DataFrame ops:
+    assign = argmin squared L2 (one scan, JVM-side expressions), recentre =
+    groupBy(centroid).avg — the standard coarse-quantizer training (L2 Lloyd
+    even for inner-product indexes, as FAISS does). Fixed iteration count +
+    deterministic seed init (ivf_centroids) so the result is reproducible.
+
+    EXACT cross-engine arithmetic: components are quantized to integers
+    (floor(v·2²⁰ + 0.5)) and summed as BIGINT — integer addition is
+    associative, so the per-cluster sums are independent of partitioning and
+    reduce order, and the new centroid component s/(2²⁰·n) is one exact
+    double division. tests/test_ivf_train.py pins bit-equality against the
+    numpy mirror (ivf_train_numpy) and monotone inertia. An empty cluster
+    keeps its previous centroid (deterministic; no re-seeding).
+
+    Scale shape: per iteration one scan + one 8-group aggregation with
+    map-side partials — no shuffle of vectors, only (k × dim) BIGINT cells.
+    The collect is k rows."""
+    cents = [list(map(float, c)) for c in init_centroids]
+    dim = len(cents[0])
+    for _ in range(iters):
+        assigned = embeddings.select(
+            _l2_assign_col(cents).alias("centroid_id"), "embedding")
+        agg = (assigned.groupBy("centroid_id")
+               .agg(F.count("*").alias("n"),
+                    *[F.sum(_fixed(F.col("embedding")[d].cast("double")))
+                      .alias(f"s{d}") for d in range(dim)]))
+        rows = {int(r["centroid_id"]): r for r in agg.collect()}
+        new = []
+        for i, c in enumerate(cents):
+            r = rows.get(i)
+            if r is None or r["n"] == 0:
+                new.append(c)
+            else:
+                n = int(r["n"])
+                new.append([r[f"s{d}"] / (KMEANS_SCALE * n)
+                            for d in range(dim)])
+        cents = new
+    return cents
+
+
+def ivf_train_numpy(embs, init_centroids, iters: int = 4):
+    """Bit-exact numpy mirror of ivf_train (used by the DuckDB-oracle side
+    and tests): same fixed-point sums, same left-to-right dot accumulation
+    (per-dim vectorized adds preserve each row's fold order), same tie rule.
+    embs: (n, dim) float64 array. Returns (centroids, inertia_per_iter)."""
+    import numpy as np
+
+    embs = np.asarray(embs, dtype=np.float64)
+    n, dim = embs.shape
+    cents = [list(map(float, c)) for c in init_centroids]
+    inertia = []
+    for _ in range(iters):
+        scores = np.empty((n, len(cents)), dtype=np.float64)
+        for i, c in enumerate(cents):
+            dot = np.zeros(n, dtype=np.float64)
+            c_norm2 = 0.0
+            for d in range(dim):
+                dot = dot + embs[:, d] * c[d]
+                c_norm2 += float(c[d]) * float(c[d])
+            scores[:, i] = -2.0 * dot + c_norm2
+        assign = np.argmin(scores, axis=1)  # first minimum → lower id on ties
+        # inertia uses the true squared distance (score + ||x||²)
+        x_norm2 = np.zeros(n, dtype=np.float64)
+        for d in range(dim):
+            x_norm2 = x_norm2 + embs[:, d] * embs[:, d]
+        inertia.append(float(np.sum(scores[np.arange(n), assign] + x_norm2)))
+        q = np.floor(embs * KMEANS_SCALE + 0.5).astype(np.int64)
+        new = []
+        for i, c in enumerate(cents):
+            sel = assign == i
+            cnt = int(sel.sum())
+            if cnt == 0:
+                new.append(c)
+            else:
+                s = q[sel].sum(axis=0)
+                new.append([v / (KMEANS_SCALE * cnt) for v in s.tolist()])
+        cents = new
+    return cents, inertia
 
 
 def query_probe_lists(query_vec: list[float], centroids: list[list[float]],

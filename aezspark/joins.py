@@ -136,12 +136,51 @@ def _validate_projection(points: DataFrame, project: list[str] | None,
     return keep
 
 
+def _match_arrays(idx: BoundaryIndex, lon, lat, knn_fallback: bool,
+                  many_to_many: bool):
+    """Shared match core of the fused kernels: (take, ppos, isknn) where
+    `take` indexes the batch rows (a row appears once per containing feature,
+    plus once for its kNN fallback), `ppos` is the matched polygon position,
+    and `isknn` flags the fallback rows. PIP matches first, kNN after — the
+    historical kernel order."""
+    pt, pp = idx.pip(lon, lat, many_to_many=many_to_many)
+    if not knn_fallback:
+        return pt, pp, np.zeros(len(pt), dtype=bool)
+    un = np.ones(len(lon), dtype=bool)
+    if len(pt):
+        un[np.unique(pt)] = False
+    if not un.any():
+        return pt, pp, np.zeros(len(pt), dtype=bool)
+    un_idx = np.flatnonzero(un)
+    pos, _d = idx.nearest(lon[un], lat[un])
+    take = np.concatenate([pt, un_idx])
+    ppos = np.concatenate([pp, np.asarray(pos, dtype=np.int64)])
+    isknn = np.zeros(len(take), dtype=bool)
+    isknn[len(pt):] = True
+    return take, ppos, isknn
+
+
+def _tile_codes(tl, fine: GridSpec, lon, lat) -> np.ndarray:
+    """Fused raster→vector lookup: AEZ code of each point's fine-grid pixel
+    via searchsorted over the broadcast sorted (cell_id, code) arrays;
+    blank/miss = 255 (C_TMR_BLNK, process_imagery.py:41)."""
+    cells_sorted, codes = tl
+    if len(cells_sorted) == 0:
+        return np.full(len(lon), 255, dtype=np.int32)
+    fy, fx = fine.lonlat_to_yx(lon, lat)
+    fcell = fine.cell_id(fy, fx)
+    pos = np.searchsorted(cells_sorted, fcell)
+    pos_c = np.minimum(pos, len(cells_sorted) - 1)
+    hit = cells_sorted[pos_c] == fcell
+    return np.where(hit, codes[pos_c], 255).astype(np.int32)
+
+
 def assign_points(points: DataFrame, index, lat_col: str = "lat",
                   lon_col: str = "lon", knn_fallback: bool = True,
                   many_to_many: bool = True, tile_lookup=None,
                   fine: GridSpec | None = None,
                   project: list[str] | None = None,
-                  emit: str = "rows") -> DataFrame:
+                  emit: str = "rows", doc_col: str = "doc_id") -> DataFrame:
     """Broadcast PIP join of arbitrary points; optional kNN nearest-zone
     fallback for points inside no polygon (SURVEY §2.9 #4).
 
@@ -163,18 +202,23 @@ def assign_points(points: DataFrame, index, lat_col: str = "lat",
     (documents.doc_zone_counts doc_local semantics) INTO this kernel: match
     rows never cross the Arrow boundary at all — each partition emits only
     its (country, aez_code, n_docs) partials; finish with
-    groupBy(country, aez_code).sum. Requires tile_lookup and a doc_id input
-    column; the co-location precondition is automatic here because the dedup
-    happens in the SAME kernel that produced the matches. Aggregation pushed
-    into the join — the 10¹²-doc shape where the join output (≈ input rows ×
-    match multiplicity) is the dominant data volume."""
+    groupBy(country, aez_code).sum. Requires tile_lookup and a `doc_col`
+    input column (default doc_id; pass an int64 surrogate — e.g.
+    xxhash64(doc_id) — to keep the Arrow payload and the dedup integer-only:
+    distinctness is all the count needs, and the kernel then dedups via
+    np.unique over packed int64 pairs instead of pandas object rows). The
+    co-location precondition is automatic here because the dedup happens in
+    the SAME kernel that produced the matches. Aggregation pushed into the
+    join — the 10¹²-doc shape where the join output (≈ input rows × match
+    multiplicity) is the dominant data volume."""
     if emit not in ("rows", "zone_counts"):
         raise ValueError(f"assign_points: unknown emit mode {emit!r}")
     if emit == "zone_counts":
         if tile_lookup is None:
             raise ValueError("assign_points(emit='zone_counts') requires tile_lookup")
-        if "doc_id" not in [f.name for f in points.schema.fields]:
-            raise ValueError("assign_points(emit='zone_counts') requires a doc_id column")
+        if doc_col not in [f.name for f in points.schema.fields]:
+            raise ValueError(f"assign_points(emit='zone_counts') requires a "
+                             f"{doc_col!r} column")
     spark = points.sparkSession
     bidx = index if hasattr(index, "value") else broadcast_index(spark, index)
 
@@ -197,67 +241,82 @@ def assign_points(points: DataFrame, index, lat_col: str = "lat",
                 continue
             lon = pdf[lon_col].to_numpy(dtype=np.float64)
             lat = pdf[lat_col].to_numpy(dtype=np.float64)
-            pt, pp = idx.pip(lon, lat, many_to_many=many_to_many)
-            matched = pdf.iloc[pt].reset_index(drop=True)
-            matched["feature_id"] = fids[pp]
-            matched["country"] = countries[pp]
-            matched["method"] = "pip"
-            outs = [matched]
-            if knn_fallback:
-                un = np.ones(len(pdf), dtype=bool)
-                if len(pt):
-                    un[np.unique(pt)] = False
-                if un.any():
-                    up = pdf.loc[un].reset_index(drop=True)
-                    pos, _d = idx.nearest(lon[un], lat[un])
-                    up["feature_id"] = fids[pos]
-                    up["country"] = countries[pos]
-                    up["method"] = "knn"
-                    outs.append(up)
-            out = pd.concat(outs, ignore_index=True) if len(outs) > 1 else outs[0]
+            take, ppos, isknn = _match_arrays(idx, lon, lat, knn_fallback,
+                                              many_to_many)
+            out = pdf.iloc[take].reset_index(drop=True)
+            out["feature_id"] = fids[ppos]
+            out["country"] = countries[ppos]
+            out["method"] = np.where(isknn, "knn", "pip")
             if tl is not None:
-                cells_sorted, codes = tl
-                if len(cells_sorted) == 0:
-                    out["aez_code"] = np.int32(255)
-                else:
-                    olat = out[lat_col].to_numpy(dtype=np.float64)
-                    olon = out[lon_col].to_numpy(dtype=np.float64)
-                    fy, fx = fine.lonlat_to_yx(olon, olat)
-                    fcell = fine.cell_id(fy, fx)
-                    pos = np.searchsorted(cells_sorted, fcell)
-                    pos_c = np.minimum(pos, len(cells_sorted) - 1)
-                    hit = cells_sorted[pos_c] == fcell
-                    out["aez_code"] = np.where(hit, codes[pos_c], 255).astype(np.int32)
+                out["aez_code"] = _tile_codes(tl, fine, lon[take], lat[take])
             yield out[out_cols]
 
     if emit == "rows":
         return points.mapInPandas(kernel, schema)
 
-    if "doc_id" not in keep:
-        raise ValueError("assign_points(emit='zone_counts'): doc_id must "
-                         "survive the projection")
+    if doc_col not in keep:
+        raise ValueError(f"assign_points(emit='zone_counts'): {doc_col!r} "
+                         f"must survive the projection")
     zc_schema = T.StructType([
         T.StructField("country", T.StringType()),
         T.StructField("aez_code", T.IntegerType()),
         T.StructField("n_docs", T.LongType())])
 
     def zc_kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        # composed over the row kernel: per-batch dedup bounds working-set
-        # growth, the cross-batch concat+dedup holds only this partition's
-        # DISTINCT (country, aez, doc) triples
-        parts = []
-        for out in kernel(batches):
-            if len(out):
-                parts.append(out[["country", "aez_code", "doc_id"]]
-                             .drop_duplicates())
-        if not parts:
+        # Integer-only dedup path: country → small int code (position in the
+        # sorted unique-country array, shared by construction across every
+        # batch of every partition), packed with the aez code into ONE int64
+        # (combo = ccode·512 + aez). Distinct (combo, doc_key) pairs per
+        # partition via np.unique over an (n,2) int64 array — C-speed sort
+        # dedup, no pandas object rows. Per-batch dedup first bounds
+        # working-set growth; the cross-batch unique holds only this
+        # partition's DISTINCT pairs. String doc keys take a pandas
+        # drop_duplicates fallback (same values, slower — the production path
+        # feeds an int64 surrogate key).
+        idx: BoundaryIndex = bidx.value
+        countries = idx.countries()
+        c_uniq, poly_ccode = np.unique(countries.astype(str),
+                                       return_inverse=True)
+        tl = tile_lookup.value
+        int_parts: list[np.ndarray] = []
+        obj_parts: list[pd.DataFrame] = []
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            lon = pdf[lon_col].to_numpy(dtype=np.float64)
+            lat = pdf[lat_col].to_numpy(dtype=np.float64)
+            take, ppos, _ = _match_arrays(idx, lon, lat, knn_fallback,
+                                          many_to_many)
+            if not len(take):
+                continue
+            aez = _tile_codes(tl, fine, lon[take], lat[take]).astype(np.int64)
+            if aez.size and (aez.min() < 0 or aez.max() >= 512):
+                raise ValueError("assign_points(emit='zone_counts'): aez code "
+                                 "outside [0, 512) breaks the packed dedup key")
+            combo = poly_ccode[ppos].astype(np.int64) * 512 + aez
+            keys = pdf[doc_col].to_numpy()[take]
+            if np.issubdtype(keys.dtype, np.integer):
+                pairs = np.stack([combo, keys.astype(np.int64)], axis=1)
+                int_parts.append(np.unique(pairs, axis=0))
+            else:
+                obj_parts.append(pd.DataFrame({"combo": combo, "k": keys})
+                                 .drop_duplicates())
+        if int_parts and obj_parts:
+            raise ValueError("assign_points(emit='zone_counts'): mixed "
+                             "integer and object doc keys across batches")
+        if int_parts:
+            allp = np.unique(np.concatenate(int_parts), axis=0)
+            combos, counts = np.unique(allp[:, 0], return_counts=True)
+        elif obj_parts:
+            allp = pd.concat(obj_parts, ignore_index=True).drop_duplicates()
+            agg = allp.groupby("combo", sort=False).size()
+            combos = agg.index.to_numpy(dtype=np.int64)
+            counts = agg.to_numpy()
+        else:
             return
-        allp = pd.concat(parts, ignore_index=True).drop_duplicates()
-        agg = (allp.groupby(["country", "aez_code"], sort=False)
-               .size().reset_index(name="n_docs"))
-        yield pd.DataFrame({"country": agg["country"],
-                            "aez_code": agg["aez_code"].astype("int32"),
-                            "n_docs": agg["n_docs"].astype("int64")})
+        yield pd.DataFrame({"country": c_uniq[combos // 512],
+                            "aez_code": (combos % 512).astype("int32"),
+                            "n_docs": counts.astype("int64")})
 
     return points.mapInPandas(zc_kernel, zc_schema)
 

@@ -147,8 +147,10 @@ def _flagship_stages(spark, n_docs: int) -> dict:
     pts.count()
     t1 = time.monotonic()
     out["scan_parse_index_s"] = round(t1 - t0, 2)
-    partials = assign_points(pts, w.bidx, tile_lookup=tl, fine=w.fine,
-                             project=["doc_id"], emit="zone_counts")
+    partials = assign_points(
+        pts.withColumn("doc_key", F.xxhash64("doc_id")), w.bidx,
+        tile_lookup=tl, fine=w.fine, project=["doc_key"],
+        emit="zone_counts", doc_col="doc_key")
     partials.count()
     t2 = time.monotonic()
     out["pip_knn_tile_kernel_s"] = round(max((t2 - t1) - (t1 - t0), 0.0), 2)

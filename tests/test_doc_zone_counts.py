@@ -74,6 +74,21 @@ def test_fused_kernel_validates_inputs(spark, world):
     with pytest.raises(ValueError, match="requires tile_lookup"):
         assign_points(pts, world.bidx, emit="zone_counts")
     tl = tile_lookup_broadcast(spark, world.tiles())
-    with pytest.raises(ValueError, match="doc_id must survive"):
+    with pytest.raises(ValueError, match="doc_id.*must survive"):
         assign_points(pts, world.bidx, tile_lookup=tl, fine=world.fine,
                       project=["span_idx"], emit="zone_counts")
+
+
+def test_doc_local_counts_null_keys_like_spark(spark):
+    """A null group key must count identically in both advertised-identical
+    forms: pandas groupby defaults to dropna=True, which would silently drop
+    null-country rows only in the doc_local kernel."""
+    schema = "country STRING, aez_code INT, doc_id STRING"
+    rows = [("X", 1, "d1"), (None, 1, "d2"), (None, 1, "d3"), ("X", 2, "d1")]
+    df = spark.createDataFrame(rows, schema).coalesce(1)
+    exact = docs_mod.doc_zone_counts(df)
+    local = docs_mod.doc_zone_counts(df, doc_local=True)
+    as_set = lambda d: {tuple(r) for r in d.collect()}
+    got = as_set(local)
+    assert got == as_set(exact)
+    assert (None, 1, 2) in got
