@@ -82,7 +82,8 @@ def lsh_buckets(signatures: DataFrame, rows_per_band: int = 2,
 
 
 def lsh_candidate_pairs(buckets: DataFrame, doc_col: str = "doc_id",
-                        max_bucket_size: int | None = 64) -> DataFrame:
+                        max_bucket_size: int | None = 64,
+                        observation=None) -> DataFrame:
     """Self-join on (band, bucket) → distinct unordered candidate pairs.
     The bucket join is the scale path: no all-pairs comparison ever happens.
 
@@ -97,11 +98,26 @@ def lsh_candidate_pairs(buckets: DataFrame, doc_col: str = "doc_id",
     candidate blow-up while exact dedup still collapses them
     (tests/test_lsh_hot_bucket.py pins both halves). The size filter is one
     extra aggregation on the same (band, bucket) shuffle key as the join.
-    max_bucket_size=None disables the guard (small-N baselines only)."""
+    max_bucket_size=None disables the guard (small-N baselines only).
+
+    No silent caps: pass a pyspark.sql.Observation as `observation` and the
+    run reports how much the guard actually dropped —
+    lsh_dropped_buckets / lsh_dropped_members metrics, collected by whatever
+    action executes the returned plan (jobs/run_aez.py --queries dedup
+    surfaces them; tests/test_lsh_hot_bucket.py asserts them on the
+    adversarial boilerplate fixture)."""
     if max_bucket_size is not None:
         sizes = (buckets.groupBy("band", "bucket")
-                 .agg(F.count("*").alias("_bsz"))
-                 .filter(F.col("_bsz") <= max_bucket_size)
+                 .agg(F.count("*").alias("_bsz")))
+        if observation is not None:
+            sizes = sizes.observe(
+                observation,
+                F.sum((F.col("_bsz") > max_bucket_size).cast("long"))
+                .alias("lsh_dropped_buckets"),
+                F.sum(F.when(F.col("_bsz") > max_bucket_size, F.col("_bsz"))
+                      .otherwise(F.lit(0)).cast("long"))
+                .alias("lsh_dropped_members"))
+        sizes = (sizes.filter(F.col("_bsz") <= max_bucket_size)
                  .select("band", "bucket"))
         buckets = buckets.join(sizes, ["band", "bucket"])
     a = buckets.select(F.col(doc_col).alias("doc_a"), "band", "bucket")

@@ -77,7 +77,7 @@ def doc_content_hash(spans_col: str = "spans"):
             "\x1e", s["kind"], s["text"], s["media_ref"]))))
 
 
-def streaming_exact_dedup(docs_stream: DataFrame):
+def streaming_exact_dedup(docs_stream: DataFrame, ttl_ms: int | None = None):
     """Custom STATEFUL streaming operator (applyInPandasWithState): exact
     dedup across micro-batches. State per text-hash group = the canonical
     (first-seen) doc_id; later arrivals of the same text emit nothing. This
@@ -95,7 +95,23 @@ def streaming_exact_dedup(docs_stream: DataFrame):
     The dedup key is a DOC-LEVEL hash: md5 over the full span sequence
     (kind, text, media_ref per span, in array order). Hashing only
     spans[0].text would collapse every doc whose first span is media (text '')
-    into one group — a different operator than batch exact_dedup."""
+    into one group — a different operator than batch exact_dedup.
+
+    STATE LIFECYCLE (ttl_ms): the default (None) keeps one state entry per
+    distinct doc hash FOREVER — at 10¹² docs that is the whole corpus in the
+    state store (~50 B/entry → tens of TB across executors), fine for a
+    bounded backfill, wrong for an endless stream. ttl_ms sets a sliding
+    processing-time TTL per hash: every sighting restarts the clock, and a
+    hash unseen for ttl_ms is EVICTED (ProcessingTimeTimeout removes it at
+    the end of a later micro-batch), after which the next sighting re-emits
+    as first-seen. Re-emission is enforced by a last-seen timestamp stored
+    IN the state, not just by eviction timing: a re-arrival after the TTL
+    re-emits even if the state-store cleanup has not fired yet, so the
+    visible semantics are exactly 'first sighting per hash per TTL window'.
+    State size is then bounded by the distinct hashes per TTL window
+    (arrival-rate × window, not corpus size). The two modes share one state
+    schema; checkpoints carry across a ttl change but not across engine
+    versions older than this field."""
     import pandas as pd
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
@@ -107,13 +123,14 @@ def streaming_exact_dedup(docs_stream: DataFrame):
     ])
     state_schema = T.StructType([
         T.StructField("canonical_doc_id", T.StringType()),
+        T.StructField("last_seen_ms", T.LongType()),
     ])
 
     def dedup_fn(key, pdfs, state: GroupState):
-        if state.exists:
-            # hash already seen in a previous batch: consume, emit nothing
-            for _ in pdfs:
-                pass
+        if state.hasTimedOut:
+            # TTL expired with no new sighting: evict — the next sighting of
+            # this hash becomes a fresh first-seen
+            state.remove()
             return iter(())
         best = None
         for pdf in pdfs:
@@ -122,13 +139,28 @@ def streaming_exact_dedup(docs_stream: DataFrame):
                 best = m if best is None else min(best, m)
         if best is None:
             return iter(())
-        state.update((best,))
+        now = state.getCurrentProcessingTimeMs() if ttl_ms is not None else 0
+        if state.exists:
+            prev_doc, last_seen = state.get
+            expired = ttl_ms is not None and now - last_seen > ttl_ms
+            state.update((best if expired else prev_doc, now))
+            if ttl_ms is not None:
+                state.setTimeoutDuration(ttl_ms)
+            if not expired:
+                return iter(())
+            return iter([pd.DataFrame({"text_hash": [key[0]],
+                                       "canonical_doc_id": [best]})])
+        state.update((best, now))
+        if ttl_ms is not None:
+            state.setTimeoutDuration(ttl_ms)
         return iter([pd.DataFrame({"text_hash": [key[0]],
                                    "canonical_doc_id": [best]})])
 
+    timeout = (GroupStateTimeout.ProcessingTimeTimeout if ttl_ms is not None
+               else GroupStateTimeout.NoTimeout)
     return (hashed.groupBy("text_hash")
             .applyInPandasWithState(dedup_fn, out_schema, state_schema,
-                                    "append", GroupStateTimeout.NoTimeout))
+                                    "append", timeout))
 
 
 def windowed_event_counts(events_stream: DataFrame,

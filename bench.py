@@ -10,6 +10,20 @@ Env knobs:
   SPARK_GRAFT_CPUS     default 32 (→ master local[N], shuffle partitions N)
   BENCH_ONLY           comma-separated query subset (used by BENCH/scaling.py)
   BENCH_DOCS           flagship corpus size (default 200000)
+  AEZSPARK_PREV_CONTROL    0 disables the prev-commit control (default on)
+  AEZSPARK_CONTROL_QUERIES control subset (default 4 headline queries)
+  AEZSPARK_CONTROL_SAMPLES prev/head control pairs (default 1)
+
+Same-window prev-commit control: BENCH_rN.json files are recorded in
+different ten-minute windows on a shared host whose throughput drifts ~2×
+between windows, so round-over-round comparisons of the raw numbers are
+meaningless (the round-3 record looked 1.47× slower than round 2 purely from
+drift). This harness therefore interleaves, in THIS run's window, the same
+subset of queries against the previous round's commit (checked out into a
+git worktree) and reports the head/prev ratio in
+extras.prev_commit_control — the number a reviewer should read for
+round-over-round deltas. The head-side samples straddle the prev-side run
+(in-process run before, subprocess after), balancing linear drift.
 """
 
 from __future__ import annotations
@@ -216,6 +230,120 @@ def _ann(spark, sf_dir):
     return E.q_cosine_topk(spark, sf_dir).count()
 
 
+CONTROL_QUERIES_DEFAULT = "flagship_docs,aez_by_country,dedup_minhash_lsh,simhash"
+
+
+def _prev_round_commit() -> str | None:
+    """The previous round's boundary commit (the driver commits 'round N:
+    ...' at each round end) — the baseline the control compares against."""
+    import subprocess
+
+    try:
+        out = subprocess.run(
+            ["git", "-C", os.path.dirname(os.path.abspath(__file__)),
+             "log", "--grep", "^round [0-9]*:", "-n", "1", "--format=%H"],
+            capture_output=True, text=True, timeout=30)
+        sha = out.stdout.strip()
+        return sha or None
+    except Exception:
+        return None
+
+
+def _ensure_prev_worktree(sha: str) -> str | None:
+    import subprocess
+
+    repo = os.path.dirname(os.path.abspath(__file__))
+    wt = os.path.join(repo, "build", f"prev_{sha[:12]}")
+    try:
+        if os.path.isdir(wt):
+            head = subprocess.run(["git", "-C", wt, "rev-parse", "HEAD"],
+                                  capture_output=True, text=True, timeout=30
+                                  ).stdout.strip()
+            if head == sha:
+                return wt
+        subprocess.run(["git", "-C", repo, "worktree", "add", "--detach",
+                        wt, sha], capture_output=True, text=True,
+                       timeout=120, check=True)
+        return wt
+    except Exception:
+        return None
+
+
+def _run_bench_subprocess(workdir: str, queries: list[str]) -> dict | None:
+    """One bench.py run (of `workdir`'s tree) in a fresh JVM, control
+    disabled, restricted to `queries`; returns the parsed JSON line."""
+    import subprocess
+    import sys as _sys
+
+    env = dict(os.environ, AEZSPARK_PREV_CONTROL="0",
+               BENCH_ONLY=",".join(queries),
+               BENCH_REPS=os.environ.get("BENCH_REPS", "1"))
+    try:
+        out = subprocess.run([_sys.executable,
+                              os.path.join(workdir, "bench.py")],
+                             cwd=workdir, env=env, capture_output=True,
+                             text=True, timeout=1800)
+        lines = [l for l in out.stdout.splitlines() if l.startswith("{")]
+        return json.loads(lines[-1]) if lines else None
+    except Exception:
+        return None
+
+
+def _prev_commit_control(head_inproc: dict) -> dict | None:
+    """Interleave prev-commit and head subprocess runs in THIS window and
+    report per-query min-wall both sides plus the head/prev ratio. Any
+    failure degrades to a note — the control must never break the bench."""
+    sha = _prev_round_commit()
+    if sha is None:
+        return {"note": "no round-boundary commit found; control skipped"}
+    wt = _ensure_prev_worktree(sha)
+    if wt is None:
+        return {"note": f"worktree for {sha[:12]} unavailable; control skipped"}
+    queries = [q for q in os.environ.get(
+        "AEZSPARK_CONTROL_QUERIES", CONTROL_QUERIES_DEFAULT).split(",") if q]
+    samples = int(os.environ.get("AEZSPARK_CONTROL_SAMPLES", "2"))
+    repo = os.path.dirname(os.path.abspath(__file__))
+    prev_runs, head_runs = [], []
+    # subprocess-vs-subprocess ONLY (fresh JVM both sides — the in-process
+    # numbers ride a warm JVM/world cache and would flatter head), with the
+    # order ALTERNATED across samples: the first fresh JVM of a window pays
+    # cold page-cache/JIT costs, so a fixed order would bias whichever side
+    # runs first
+    for i in range(samples):
+        order = [(wt, prev_runs), (repo, head_runs)]
+        if i % 2 == 1:
+            order.reverse()
+        for workdir, sink in order:
+            sink.append(_run_bench_subprocess(workdir, queries))
+    prev_runs = [r for r in prev_runs if r]
+    head_runs = [r for r in head_runs if r]
+    if not prev_runs or not head_runs:
+        return {"note": "control subprocess failed; control skipped",
+                "prev_commit": sha}
+    per_query = {}
+    for q in queries:
+        pv = [r["queries"][q] for r in prev_runs if q in r.get("queries", {})]
+        hv = [r["queries"][q] for r in head_runs if q in r.get("queries", {})]
+        if pv and hv:
+            per_query[q] = {"prev_s": min(pv), "head_s": min(hv),
+                            "ratio": round(min(hv) / min(pv), 3),
+                            "prev_samples": pv, "head_samples": hv,
+                            "head_inproc_s": head_inproc.get(q)}
+    tot_p = sum(v["prev_s"] for v in per_query.values())
+    tot_h = sum(v["head_s"] for v in per_query.values())
+    return {
+        "prev_commit": sha,
+        "queries": per_query,
+        "total_prev_s": round(tot_p, 3),
+        "total_head_s": round(tot_h, 3),
+        "head_over_prev_ratio": round(tot_h / tot_p, 3) if tot_p else None,
+        "note": ("same-window interleaved A/B vs the previous round's commit,"
+                 " fresh JVM per sample, order alternated; ratio < 1 means"
+                 " this round is faster — compare THIS, not BENCH_rN.json"
+                 " numbers across rounds (host drifts ~2x between windows)"),
+    }
+
+
 def main():
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
@@ -280,6 +408,10 @@ def main():
     }
     if os.environ.get("BENCH_STAGES") and "flagship_docs" in queries:
         result["extras"]["stages"] = _flagship_stages(spark, n_docs)
+    # same-window prev-commit control: only on full (non-subset) runs — the
+    # scaling harness and the control's own subprocesses set BENCH_ONLY
+    if not only and os.environ.get("AEZSPARK_PREV_CONTROL", "1") != "0":
+        result["extras"]["prev_commit_control"] = _prev_commit_control(queries)
     print(json.dumps(result))
 
 

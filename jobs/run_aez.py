@@ -3,7 +3,7 @@
     python tools/make_pyfiles.py
     spark-submit --py-files build/aezspark.zip jobs/run_aez.py \
         --fixtures /root/repo/build/fixtures/test --out /tmp/aez_run \
-        [--resume] [--queries kg,wk,aez,tiles,docs]
+        [--resume] [--queries kg,wk,aez,tiles,docs,dedup]
 
 On a cluster, --py-files ships the engine; locally it runs in the driver.
 Each query family writes its result under --out; the doc pipeline runs
@@ -41,7 +41,7 @@ def main():
     w = World(spark, args.fixtures)
     todo = set(args.queries.split(","))
     known = {"wk", "kg", "lc", "sl", "slfao", "dg", "aez", "tiles", "docs",
-             "pngs"}
+             "pngs", "dedup"}
     unknown = todo - known
     if unknown:
         ap.error(f"unknown queries: {sorted(unknown)} (choose from {sorted(known)})")
@@ -95,8 +95,39 @@ def main():
         cp = PartitionCheckpointer(spark, os.path.join(args.out, "docs_state"))
         out_dir = cp.run(pts, "part_key", transform, batch_size=args.batch_size,
                          lineage={"input": args.fixtures, "job": "doc_enrich"})
-        n = spark.read.parquet(out_dir).count()
-        print(f"doc enrichment complete: {n} assignment rows at {out_dir}")
+        # no-silent-fallbacks telemetry: how many assignments came from the
+        # kNN nearest-zone fallback vs true containment (a fallback surge
+        # flags bad boundary data before anyone reads the counts)
+        by_method = {r["method"]: r["n"] for r in
+                     (spark.read.parquet(out_dir).groupBy("method")
+                      .agg(F.count("*").alias("n")).collect())}
+        n = sum(by_method.values())
+        print(f"doc enrichment complete: {n} assignment rows at {out_dir} "
+              f"(pip={by_method.get('pip', 0)}, "
+              f"knn_fallback={by_method.get('knn', 0)})")
+
+    if "dedup" in todo:
+        # corpus dedup with no-silent-caps telemetry: the LSH hot-bucket
+        # guard reports what it dropped via an Observation riding the same
+        # action that materializes the pairs
+        from pyspark.sql import Observation
+
+        from aezspark import corpus
+
+        obs = Observation("lsh_guard")
+        sh = corpus.char_shingles(w.documents().selectExpr(
+            "doc_id", "concat_ws(' ', transform(spans, s -> s.text)) AS text"))
+        pairs = corpus.lsh_candidate_pairs(
+            corpus.lsh_buckets(corpus.minhash_signatures(sh)),
+            observation=obs)
+        pairs.write.mode("overwrite").parquet(
+            os.path.join(args.out, "dedup_pairs"))
+        n_pairs = spark.read.parquet(
+            os.path.join(args.out, "dedup_pairs")).count()
+        m = obs.get
+        print(f"dedup candidate pairs: {n_pairs} "
+              f"(hot-bucket guard dropped {m['lsh_dropped_buckets'] or 0} "
+              f"buckets / {m['lsh_dropped_members'] or 0} members)")
 
     spark.stop()
 

@@ -44,3 +44,29 @@ def test_cap_is_inert_below_threshold(spark):
     a = set(map(tuple, corpus.lsh_candidate_pairs(bks).collect()))
     b = set(map(tuple, corpus.lsh_candidate_pairs(bks, max_bucket_size=None).collect()))
     assert a == b and ("d000", "e000") in a
+
+
+def test_guard_reports_drops_via_observation(spark):
+    """No silent caps: the guard must account for every dropped bucket and
+    member through the Observation metrics, and report zero when inert."""
+    from pyspark.sql import Observation
+
+    docs = _adversarial_docs(spark, n_dups=300, n_unique=20)
+    bks = corpus.lsh_buckets(corpus.minhash_signatures(corpus.char_shingles(docs)))
+    obs = Observation("lsh_guard")
+    corpus.lsh_candidate_pairs(bks, observation=obs).count()
+    m = obs.get
+    # the 300-doc identical mass occupies one over-cap bucket in EVERY band
+    # (4 bands at the default 8 hashes / 2 rows per band)
+    assert m["lsh_dropped_buckets"] >= 4
+    assert m["lsh_dropped_members"] >= 4 * 300
+
+    obs2 = Observation("lsh_guard_inert")
+    small = spark.createDataFrame(
+        [(f"d{i}", f"clearly unique text number {i} here") for i in range(10)],
+        "doc_id STRING, text STRING")
+    bks2 = corpus.lsh_buckets(corpus.minhash_signatures(corpus.char_shingles(small)))
+    corpus.lsh_candidate_pairs(bks2, observation=obs2).count()
+    m2 = obs2.get
+    assert (m2["lsh_dropped_buckets"] or 0) == 0
+    assert (m2["lsh_dropped_members"] or 0) == 0

@@ -93,3 +93,48 @@ def test_media_leading_docs_do_not_collapse(spark, tmp_path):
 
 def _key(batch: dict, canonical: str) -> str:
     return next(h for h, d in batch.items() if d == canonical)
+
+
+def _run_dedup_ttl(spark, in_dir, out_dir, ckpt, ttl_ms):
+    stream = st.stream_documents(spark, in_dir, max_files_per_trigger=1)
+    q = (st.streaming_exact_dedup(stream, ttl_ms=ttl_ms)
+         .writeStream.format("parquet")
+         .option("path", out_dir)
+         .option("checkpointLocation", ckpt)
+         .trigger(availableNow=True)
+         .start())
+    q.awaitTermination(120)
+    return spark.read.parquet(out_dir).collect()
+
+
+def test_ttl_does_not_reemit_within_window(spark, tmp_path):
+    """ttl_ms sliding window: a duplicate arriving INSIDE the TTL emits
+    nothing — identical visible behavior to the default mode."""
+    in_dir = str(tmp_path / "in")
+    _write_doc_files(spark, in_dir, [
+        [_text_doc("a", "T1")],
+        [_text_doc("b", "T1")],
+    ])
+    rows = _run_dedup_ttl(spark, in_dir, str(tmp_path / "out"),
+                          str(tmp_path / "ckpt"), ttl_ms=600_000)
+    assert [(r.canonical_doc_id) for r in rows] == ["a"]
+
+
+def test_ttl_reemits_after_expiry(spark, tmp_path):
+    """A hash unseen for longer than ttl_ms becomes first-seen again: the
+    next sighting re-emits (documented re-emission semantic). State for the
+    expired hash is evicted by the ProcessingTimeTimeout — the knob that
+    bounds state size to distinct-hashes-per-window instead of the corpus."""
+    import time
+
+    in_dir = str(tmp_path / "in")
+    out_dir, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+    _write_doc_files(spark, in_dir, [[_text_doc("a", "T1")]])
+    first = _run_dedup_ttl(spark, in_dir, out_dir, ckpt, ttl_ms=200)
+    assert [r.canonical_doc_id for r in first] == ["a"]
+    time.sleep(1.0)  # let the 200 ms TTL lapse in processing time
+    _write_doc_files(spark, in_dir, [[_text_doc("b", "T1")]])
+    # rename to sort after the first file so the resumed stream picks it up
+    rows = _run_dedup_ttl(spark, in_dir, out_dir, ckpt, ttl_ms=200)
+    got = sorted(r.canonical_doc_id for r in rows)
+    assert got == ["a", "b"], got
