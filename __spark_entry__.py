@@ -772,6 +772,7 @@ def q_sp_knn_topk(spark, sf_dir):
     return (knn_topk_join(pts, w.bidx, k=3, project=["doc_id", "span_idx"])
             .select("doc_id", "span_idx", "feature_id", "country",
                     F.col("dist_deg").cast("double").alias("dist_deg"),
+                    F.col("dist_km").cast("double").alias("dist_km"),
                     "rank"))
 
 
@@ -785,7 +786,8 @@ def q_sp_within_distance(spark, sf_dir):
     return within_distance_join(pts, w.bidx, 4.0,
                                 project=["doc_id", "span_idx"]).select(
         "doc_id", "span_idx", "feature_id", "country",
-        F.col("dist_deg").cast("double").alias("dist_deg"))
+        F.col("dist_deg").cast("double").alias("dist_deg"),
+        F.col("dist_km").cast("double").alias("dist_km"))
 
 
 def q_sp_doc_zone_counts(spark, sf_dir):
@@ -1336,6 +1338,7 @@ def oracle_sql() -> dict[str, str]:
         "sp_knn_topk": f"""SELECT doc_id, CAST(span_idx AS INT) AS span_idx,
                    CAST(feature_id AS INT) AS feature_id, country,
                    CAST(dist_deg AS DOUBLE) AS dist_deg,
+                   CAST(dist_km AS DOUBLE) AS dist_km,
                    CAST("rank" AS INT) AS "rank" FROM {_exp('knn_topk')}""",
         "sp_classify_slope": f"""
             SELECT CAST(floor(y / 10) AS INT) AS y,
@@ -1376,7 +1379,8 @@ def oracle_sql() -> dict[str, str]:
                    FROM {_exp('doc_assignment')} WHERE method = 'knn'""",
         "sp_within_distance": f"""SELECT doc_id, CAST(span_idx AS INT) AS span_idx,
                    CAST(feature_id AS INT) AS feature_id, country,
-                   CAST(dist_deg AS DOUBLE) AS dist_deg
+                   CAST(dist_deg AS DOUBLE) AS dist_deg,
+                   CAST(dist_km AS DOUBLE) AS dist_km
                    FROM {_exp('doc_within')}""",
         "sp_doc_zone_counts": f"""
             SELECT country, CAST(aez_code AS INT) AS aez_code,

@@ -234,6 +234,13 @@ def ensure_fixtures(out_dir: str = DEFAULT_DIR, coarse_px: float = 2.5,
     oracle's expected_* outputs) into out_dir. Returns out_dir."""
     params = {"seed": SEED, "coarse_px": coarse_px, "n_docs": n_docs,
               "with_expected": with_expected, "v": 10}
+    if with_expected:
+        # expected-output version: bumped when only the numpy oracle's
+        # expected_* outputs change (raw tables identical), so the big
+        # with_expected=False bench corpora — 30 min to regenerate at 20M
+        # docs, and shared with prev-round control worktrees whose code
+        # predates this key — keep their manifests untouched
+        params["ev"] = 2
     manifest = os.path.join(out_dir, "manifest.json")
     if os.path.exists(manifest):
         with open(manifest) as f:

@@ -504,7 +504,7 @@ def doc_within_distance(fx_dir: str, d_deg: float) -> pd.DataFrame:
     independent winding test (cross-checked); distances via a DENSE
     points×segments scan per feature — structurally independent of the
     engine's bbox-pruned within()."""
-    from ..geometry import point_seg_dist_deg
+    from ..geometry import KM_PER_DEG, point_seg_dist_deg
 
     pts = doc_points(fx_dir)
     lonv = pts["lon"].to_numpy()
@@ -517,11 +517,12 @@ def doc_within_distance(fx_dir: str, d_deg: float) -> pd.DataFrame:
         match = inside | (dist <= d_deg)
         d_out = np.where(inside, 0.0, dist)
         for i in np.flatnonzero(match):
+            dd = round(float(d_out[i]), 6)
             rows.append((pts["doc_id"].iloc[i], int(pts["span_idx"].iloc[i]),
                          int(poly.feature_id), poly.country,
-                         round(float(d_out[i]), 6)))
+                         dd, round(dd * KM_PER_DEG, 6)))
     return pd.DataFrame(rows, columns=["doc_id", "span_idx", "feature_id",
-                                       "country", "dist_deg"])
+                                       "country", "dist_deg", "dist_km"])
 
 
 def doc_knn_topk(fx_dir: str, k: int = 3) -> pd.DataFrame:
@@ -530,7 +531,7 @@ def doc_knn_topk(fx_dir: str, k: int = 3) -> pd.DataFrame:
     boundary distance with rank 1..k ordered by (dist, feature position) —
     a DENSE per-feature scan, structurally independent of the engine's
     branch-and-bound nearest_k."""
-    from ..geometry import point_seg_dist_deg
+    from ..geometry import KM_PER_DEG, point_seg_dist_deg
 
     pts = doc_points(fx_dir)
     lonv = pts["lon"].to_numpy()
@@ -550,11 +551,13 @@ def doc_knn_topk(fx_dir: str, k: int = 3) -> pd.DataFrame:
     for i, p in enumerate(un):
         for r in range(k_eff):
             f = int(order[i, r])
+            dd = round(float(dists[p, f]), 6)
             rows.append((pts["doc_id"].iloc[p], int(pts["span_idx"].iloc[p]),
                          int(polys[f].feature_id), polys[f].country,
-                         round(float(dists[p, f]), 6), r + 1))
+                         dd, round(dd * KM_PER_DEG, 6), r + 1))
     return pd.DataFrame(rows, columns=["doc_id", "span_idx", "feature_id",
-                                       "country", "dist_deg", "rank"])
+                                       "country", "dist_deg", "dist_km",
+                                       "rank"])
 
 
 # ---- top-level writer ----

@@ -126,6 +126,15 @@ def haversine_km(lat1, lon1, lat2, lon2):
     return 2 * 6371.0088 * np.arcsin(np.sqrt(np.clip(h, 0.0, 1.0)))
 
 
+# km per degree of great-circle arc, derived from haversine_km itself (one
+# meridian degree at the same R=6371.0088): the factor that converts the
+# scaled-degree distances of the spatial joins — locally isotropic by the
+# cos(lat) lon scaling — into user-facing kilometres. For the boundary
+# proximities these joins report, the planar scaled-deg × arc conversion
+# agrees with a full haversine to O(d²).
+KM_PER_DEG = float(haversine_km(0.0, 0.0, 1.0, 0.0))
+
+
 @dataclass
 class Polygon:
     """One boundary feature: exterior ring + optional holes + metadata."""

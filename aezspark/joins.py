@@ -328,19 +328,26 @@ def within_distance_join(points: DataFrame, index, d_deg: float,
     inside the feature or within d_deg (scaled degrees) of its boundary —
     the buffer/within-distance query (no reference counterpart; engine
     range-join primitive). Many-to-many; appends (feature_id, country,
-    dist_deg) with dist 0 for contained points. Same broadcast-kernel shape
-    as assign_points: zero shuffle in the join, bbox lower-bound pruning
-    inside the Arrow kernel."""
+    dist_deg, dist_km) with dist 0 for contained points — dist_km is the
+    user-facing unit (dist_deg × geometry.KM_PER_DEG, the haversine-derived
+    arc factor, computed from the 6dp-rounded deg so both engines derive it
+    from the identical value). Same broadcast-kernel shape as assign_points:
+    zero shuffle in the join, bbox lower-bound pruning inside the Arrow
+    kernel."""
+    from .geometry import KM_PER_DEG
+
     spark = points.sparkSession
     bidx = index if hasattr(index, "value") else broadcast_index(spark, index)
     keep = _validate_projection(points, project,
-                                ["feature_id", "country", "dist_deg"],
+                                ["feature_id", "country", "dist_deg",
+                                 "dist_km"],
                                 "within_distance_join")
     schema = T.StructType(
         [f for f in points.schema.fields if f.name in keep]
         + [T.StructField("feature_id", T.IntegerType()),
            T.StructField("country", T.StringType()),
-           T.StructField("dist_deg", T.DoubleType())])
+           T.StructField("dist_deg", T.DoubleType()),
+           T.StructField("dist_km", T.DoubleType())])
     out_cols = [f.name for f in schema.fields]
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -356,7 +363,9 @@ def within_distance_join(points: DataFrame, index, d_deg: float,
             out = pdf.iloc[pt].reset_index(drop=True)
             out["feature_id"] = fids[pp]
             out["country"] = countries[pp]
-            out["dist_deg"] = np.round(dist, 6)
+            dd = np.round(dist, 6)
+            out["dist_deg"] = dd
+            out["dist_km"] = np.round(dd * KM_PER_DEG, 6)
             yield out[out_cols]
 
     return points.mapInPandas(kernel, schema)
@@ -374,21 +383,28 @@ def knn_topk_join(points: DataFrame, index, k: int,
 
     unmatched_only=True restricts to points contained in NO polygon (the
     nearest-zone fallback population, same rule as assign_points' kNN path);
-    False ranks every point. Same broadcast-kernel shape as assign_points:
-    zero shuffle, candidate generation via the bbox branch-and-bound with a
-    k-element bound (geometry.BoundaryIndex.nearest_k). stats_acc: optional
-    dict collected per-batch for candidate-reduction assertions (test use —
+    False ranks every point. Appends (feature_id, country, dist_deg,
+    dist_km, rank) — dist_km = dist_deg × geometry.KM_PER_DEG from the
+    6dp-rounded deg, the user-facing unit. Same broadcast-kernel shape as
+    assign_points: zero shuffle, candidate generation via the bbox
+    branch-and-bound with a k-element bound
+    (geometry.BoundaryIndex.nearest_k). stats_acc: optional dict collected
+    per-batch for candidate-reduction assertions (test use —
     single-partition inputs only)."""
+    from .geometry import KM_PER_DEG
+
     spark = points.sparkSession
     bidx = index if hasattr(index, "value") else broadcast_index(spark, index)
     keep = _validate_projection(points, project,
-                                ["feature_id", "country", "dist_deg", "rank"],
+                                ["feature_id", "country", "dist_deg",
+                                 "dist_km", "rank"],
                                 "knn_topk_join")
     schema = T.StructType(
         [f for f in points.schema.fields if f.name in keep]
         + [T.StructField("feature_id", T.IntegerType()),
            T.StructField("country", T.StringType()),
            T.StructField("dist_deg", T.DoubleType()),
+           T.StructField("dist_km", T.DoubleType()),
            T.StructField("rank", T.IntegerType())])
     out_cols = [f.name for f in schema.fields]
 
@@ -419,7 +435,9 @@ def knn_topk_join(points: DataFrame, index, k: int,
             out = pdf.iloc[rep].reset_index(drop=True)
             out["feature_id"] = fids[pos.ravel()]
             out["country"] = countries[pos.ravel()]
-            out["dist_deg"] = np.round(dist.ravel(), 6)
+            dd = np.round(dist.ravel(), 6)
+            out["dist_deg"] = dd
+            out["dist_km"] = np.round(dd * KM_PER_DEG, 6)
             out["rank"] = np.tile(np.arange(1, k_eff + 1, dtype=np.int32),
                                   len(pdf))
             yield out[out_cols]

@@ -17,7 +17,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 EXCERPT_PATTERNS = re.compile(
     r"Exchange|Join|MapInPandas|HashAggregate|PushedFilters|ReadSchema|"
-    r"Scan parquet|WholeStageCodegen|Bucketed")
+    r"Scan parquet|WholeStageCodegen|Bucketed|PartitionFilters")
 
 
 def counts(plan: str) -> dict:
@@ -80,6 +80,8 @@ def main():
     plans["embedding_neardup"] = E.q_embedding_neardup(spark, sf)
     plans["within_distance"] = E.q_sp_within_distance(spark, sf)
     plans["simhash"] = E.q_simhash(spark, sf)
+    plans["ivf_probe_pruned"] = E.q_ivf_topk(spark, sf)
+    plans["fao_slope_assembly"] = E.q_sp_fao_slope(spark, sf)
     # one round of the neardup CC loop (the loop itself is iterative — this
     # is the per-round join+agg shape whose shuffles repeat O(diameter)
     # times). edges/labels are materialized first, exactly as in production
@@ -142,7 +144,11 @@ Notes:
 - **flagship_fused** (round 3, the benched production path): the dedup and
   partial count run INSIDE the assign kernel (`emit='zone_counts'`) — one
   MapInPandas, one Exchange carrying only per-partition (country, aez, n)
-  partials; join output rows never cross the Arrow boundary at all.
+  partials; join output rows never cross the Arrow boundary at all. Round 4:
+  the kernel input ships `xxhash64(doc_id)` (int64, computed JVM-side —
+  visible as the xxhash64 projection feeding MapInPandas) instead of the
+  doc_id string, and the in-kernel dedup is np.unique over packed int64
+  pairs.
 - **simhash** (round 3): one row per token through the single groupBy — the
   16 per-bit sums are conditional aggregates on the same row, so the shuffle
   carries |tokens| rows (was 16·|tokens| with the J-explode).
@@ -153,6 +159,15 @@ Notes:
 - **embedding_neardup** (round 2): LSH-bucketed self-join — bucket equi-join,
   0 cartesians (the round-1 crossJoin is gone; the exact all-pairs form
   survives only as a test baseline).
+- **ivf_probe_pruned** (round 4): the registered IVF probe now reads the
+  MATERIALIZED index (embeddings written partitionBy(centroid_id)) with
+  `PartitionFilters: [centroid_id IN (...)]` on the scan — only the probed
+  partitions' files are touched (round 3 recomputed assignments with a full
+  unpruned scan per query). tests/test_ann_index.py pins the pruning via
+  input_file_name at execution.
+- **fao_slope_assembly** (round 4): 8-file tagged union scan → ONE
+  conditional-aggregate pivot on the pixel key — a single Exchange, no
+  8-way self-join (the S6 shape for the FAO band-assembly script).
 - **tile_enrich_smj** (round 2): the non-broadcast tile path as it plans at
   scale — SortMergeJoin with the tiles side bucketed (`Bucketed: true`, no
   Exchange on that side when read from the bucketed bench table; the audit
