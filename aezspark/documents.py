@@ -49,6 +49,26 @@ def indexed_points(docs: DataFrame, index_res: int = 6) -> DataFrame:
         "index_cell", cellindex.encode_col(F.col("lat"), F.col("lon"), index_res))
 
 
+def geo_key_points(docs: DataFrame) -> DataFrame:
+    """Minimal fused-path projection: (doc_key, lat, lon) — the count-only
+    consumer's input. Differences vs geo_points that matter at 20M+ docs/8c,
+    where the JVM scan+parse stage is itself bandwidth-bound:
+      * doc_id is hashed to int64 BEFORE the explode (one xxhash64 per doc,
+        and the exploded span rows carry 8-byte keys through the JVM
+        pipeline instead of doc_id strings);
+      * explode, not posexplode — span_idx is dead weight for a count.
+    Values: identical zone counts (the key is per-doc constant), pinned by
+    tests/test_doc_zone_counts.py fused-vs-composed parity."""
+    s = (docs.select(F.xxhash64("doc_id").alias("doc_key"),
+                     F.explode("spans").alias("span"))
+         .filter(F.col("span.kind") == "geo"))
+    parts = F.split(F.col("span.text"), ",")
+    return (s.select("doc_key",
+                     parts.getItem(0).cast("double").alias("lat"),
+                     parts.getItem(1).cast("double").alias("lon"))
+            .filter(F.col("lat").isNotNull() & F.col("lon").isNotNull()))
+
+
 def assign_documents(docs: DataFrame, index, index_res: int = 6,
                      knn_fallback: bool = True) -> DataFrame:
     """Salted broadcast PIP join of every geo span against the boundary dim,
@@ -80,13 +100,14 @@ def assign_zone_counts(docs: DataFrame, index, tile_lookup,
     doc_key = xxhash64(doc_id), computed JVM-side: the count only needs doc
     DISTINCTNESS, so an int64 surrogate replaces the doc_id string in the
     Arrow payload (8 bytes vs ~20 + offsets on this bus-bound stage) and
-    turns the kernel's dedup into np.unique over packed int64 pairs instead
+    turns the kernel's dedup into int64-column hashing instead
     of pandas object rows. Collision cost: two docs in the same zone cell
     colliding merge into one count — P(any collision) ≈ n²/2⁶⁵ ≈ 1e-5 at 20M
     docs, zero observed at fixture scale (the driver hash-gate would catch
-    one). Exact-key consumers use emit='rows' + doc_zone_counts."""
-    pts = geo_points(docs).select(
-        F.xxhash64("doc_id").alias("doc_key"), "lat", "lon")
+    one). Exact-key consumers use emit='rows' + doc_zone_counts. The hash is
+    applied BEFORE the span explode (geo_key_points), so the JVM parse
+    stage streams int64 keys, not doc_id strings."""
+    pts = geo_key_points(docs)
     partials = assign_points(pts, index, tile_lookup=tile_lookup, fine=fine,
                              project=["doc_key"], emit="zone_counts",
                              doc_col="doc_key")

@@ -47,10 +47,22 @@ def get_spark(app: str = "aezspark", master: str | None = None,
          .config("spark.driver.extraJavaOptions",
                  os.environ.get("AEZSPARK_JAVA_OPTS", "-XX:+UseParallelGC"))
          .config("spark.ui.enabled", "false"))
-    # smaller scan splits even out task waves on small-core local runs
-    # (e.g. a 1.4 GB corpus is 11 default splits → quantized to 2 waves on
-    # 8 cores; 32 MB → 44 splits balances). Cluster deployments leave the
-    # 128 MB default.
+    # Scan split sizing: target ≈3 tasks per core via Spark's own
+    # minPartitionNum (maxSplitBytes = min(maxPartitionBytes,
+    # max(openCost, totalBytes/minPartitionNum))) instead of a fixed byte
+    # size. Spark's default minPartitionNum = parallelism gives ~1 wave, so
+    # a 1.4 GB corpus becomes 11×128 MB splits → a ragged 8+3 two-wave
+    # schedule at 8 cores; and any FIXED byte size is core-count-blind (the
+    # 64 MB that balances 20M docs at 8 cores makes 10M docs at 8 cores
+    # ragged again). 3 waves bounds the quantization tail at ~1/3 wave while
+    # keeping per-task kernel/Arrow setup amortized. Same-window A/B at 20M
+    # docs / 8 cores with the int64-key fused kernel: ~58 MB splits = 23.0 s
+    # vs 128 MB = 32.9 s (round 3 measured the opposite with the heavier
+    # string-key kernel — superseded; BENCH/BASELINE.md). The same 2-3
+    # tasks/core rule is the standard sizing on a real cluster, where
+    # default.parallelism = total executor cores.
+    b = b.config("spark.sql.files.minPartitionNum",
+                 str(shuffle_partitions * 3))
     mpb = os.environ.get("AEZSPARK_MAX_PARTITION_BYTES")
     if mpb:
         b = b.config("spark.sql.files.maxPartitionBytes", mpb)

@@ -157,13 +157,12 @@ def _flagship_stages(spark, n_docs: int) -> dict:
     docs = w.documents()
     out = {}
     t0 = time.monotonic()
-    pts = docs_mod.indexed_points(docs)
+    pts = docs_mod.geo_key_points(docs)
     pts.count()
     t1 = time.monotonic()
     out["scan_parse_index_s"] = round(t1 - t0, 2)
     partials = assign_points(
-        pts.withColumn("doc_key", F.xxhash64("doc_id")), w.bidx,
-        tile_lookup=tl, fine=w.fine, project=["doc_key"],
+        pts, w.bidx, tile_lookup=tl, fine=w.fine, project=["doc_key"],
         emit="zone_counts", doc_col="doc_key")
     partials.count()
     t2 = time.monotonic()
@@ -302,14 +301,21 @@ def _prev_commit_control(head_inproc: dict) -> dict | None:
     queries = [q for q in os.environ.get(
         "AEZSPARK_CONTROL_QUERIES", CONTROL_QUERIES_DEFAULT).split(",") if q]
     samples = int(os.environ.get("AEZSPARK_CONTROL_SAMPLES", "2"))
+    budget_s = float(os.environ.get("AEZSPARK_CONTROL_BUDGET_S", "420"))
     repo = os.path.dirname(os.path.abspath(__file__))
     prev_runs, head_runs = [], []
+    truncated = False
     # subprocess-vs-subprocess ONLY (fresh JVM both sides — the in-process
     # numbers ride a warm JVM/world cache and would flatter head), with the
     # order ALTERNATED across samples: the first fresh JVM of a window pays
     # cold page-cache/JIT costs, so a fixed order would bias whichever side
-    # runs first
+    # runs first. A wall budget bounds the control's cost — complete pairs
+    # only, so truncation never leaves a one-sided comparison.
+    t0 = time.monotonic()
     for i in range(samples):
+        if i > 0 and time.monotonic() - t0 > budget_s:
+            truncated = True
+            break
         order = [(wt, prev_runs), (repo, head_runs)]
         if i % 2 == 1:
             order.reverse()
@@ -340,7 +346,11 @@ def _prev_commit_control(head_inproc: dict) -> dict | None:
         "note": ("same-window interleaved A/B vs the previous round's commit,"
                  " fresh JVM per sample, order alternated; ratio < 1 means"
                  " this round is faster — compare THIS, not BENCH_rN.json"
-                 " numbers across rounds (host drifts ~2x between windows)"),
+                 " numbers across rounds (host drifts ~2x between windows)"
+                 + ("; TRUNCATED by AEZSPARK_CONTROL_BUDGET_S after "
+                    f"{len(prev_runs)} pair(s) — the first pair ran"
+                    " prev-first (cold side bias against prev)"
+                    if truncated else "")),
     }
 
 
