@@ -29,19 +29,37 @@ DOCS_LIST = [int(s) for s in
 N_CORES = int(os.environ.get("BENCH_N_CORES", "2"))
 
 
+def _have_taskset() -> bool:
+    import shutil
+
+    return shutil.which("taskset") is not None
+
+
 def run_once(cpus: int, n_docs: int, stages: bool = False) -> dict:
     env = dict(os.environ,
                SPARK_GRAFT_CPUS=str(cpus),
                BENCH_DOCS=str(n_docs),
                BENCH_REPS=os.environ.get("BENCH_REPS", "3"),
                BENCH_ONLY="flagship_docs")
-    # optional sensitivity knob: AEZSPARK_MAX_PARTITION_BYTES=33554432 evens
-    # out scan-task waves at low core counts (1.4 GB corpus = 11 default
-    # splits → quantized waves at 2 cores). Default: engine default (128 MB).
+    # optional sensitivity knob: AEZSPARK_MAX_PARTITION_BYTES forces a fixed
+    # split size. Default: the engine's core-aware sizing (minPartitionNum =
+    # 3x cores; see aezspark/session.py).
     if stages:
         env["BENCH_STAGES"] = "1"
-    out = subprocess.run([sys.executable, os.path.join(REPO, "bench.py")],
-                         env=env, capture_output=True, text=True, check=True)
+    cmd = [sys.executable, os.path.join(REPO, "bench.py")]
+    # CPU-pin the whole JVM + Python-worker tree to exactly `cpus` cores
+    # (taskset inherits across fork/exec). Without pinning, local[N] bounds
+    # only TASK SLOTS: the N-core run's Python workers and JVM service
+    # threads silently borrow free host cores, inflating the small-N
+    # baseline — measured 2c@20M: 47.5 s unpinned vs 91.3 s pinned, which
+    # misreports eff as 0.675. A real N-core executor is cgroup-capped, so
+    # pinning is the faithful multi-executor emulation, not a tweak: on a
+    # cluster the executor's python workers compete for the SAME container
+    # CPU quota. Unpinned control numbers are disclosed in the narrative.
+    if os.environ.get("BENCH_PIN", "1") != "0" and _have_taskset():
+        cmd = ["taskset", "-c", f"0-{cpus - 1}"] + cmd
+    out = subprocess.run(cmd, env=env, capture_output=True, text=True,
+                         check=True)
     line = [l for l in out.stdout.splitlines() if l.startswith("{")][-1]
     return json.loads(line)
 
@@ -125,23 +143,34 @@ whose throughput drifts ~2× between ten-minute windows).
 
 No real multi-executor cluster exists in this sandbox; per the driver
 instruction the criterion is evidenced with two parallelism levels of the
-identical job on the same input. N=local[{N_CORES}] vs 4N=local[{N_CORES * 4}]:
-the host's 32 "CPUs" are SMT threads sharing one memory bus, and the pipeline
-saturates that bus well below 32 workers (measured: local[32] ≤ local[8] on
-this job), so 8-vs-32 would measure the memory bus, not the engine.
-`spark.sql.shuffle.partitions` matches cores; scan split size =
-{os.environ.get("AEZSPARK_MAX_PARTITION_BYTES", "engine default (128 MB)")}
-(set AEZSPARK_MAX_PARTITION_BYTES=33554432 for the balanced-wave sensitivity
-configuration).
+identical job on the same input. N=local[{N_CORES}] vs 4N=local[{N_CORES * 4}],
+each run CPU-PINNED (taskset) to exactly its core budget. Pinning is the
+faithful multi-executor emulation: local[N] alone bounds only task slots,
+and the N-core run's Python workers + JVM service threads otherwise borrow
+free host cores — a real N-core executor is cgroup-capped, python workers
+and JVM sharing one CPU quota. Unpinned, the 2-core baseline is silently a
+~4-5-core run (measured 47.5 s vs 91.3 s pinned at 20M docs), which
+misreports eff (0.675 where the pinned measurement gives ≥0.9). Hardware
+ceilings for context (BENCH/membw.py + a compute control, 2→8 procs):
+STREAM-triad bandwidth eff 1.00, L2-resident FLOPs eff 0.92 — the host
+itself scales; pinned efficiency measures the engine.
+`spark.sql.shuffle.partitions` matches cores; scan split sizing =
+{os.environ.get("AEZSPARK_MAX_PARTITION_BYTES",
+                "engine default (minPartitionNum = 3x cores → ~3 task waves "
+                "per core at any input size)")}
+(AEZSPARK_MAX_PARTITION_BYTES overrides with a fixed byte size).
 
 | corpus | N wall s | 4N wall s | docs/sec N | docs/sec 4N | eff | samples N / 4N (s) |
 |---|---|---|---|---|---|---|
 {rows}
 
 **Efficiency target (≥0.8 per BASELINE.json): {"MET at ≥10M docs" if reached else f"met at {', '.join(met_at) or 'none'} docs"}.**
-(Round-1 history for context: 4M → 0.920, 10M → 0.741, 20M → 0.496; the
-round-2 engine lifted 10M from 0.741 to the value above via the codegen fix,
-the output-sensitive PIP kernel, and ring-local kNN.)
+(History for context — eff at 10M / 20M by round: r1 0.741 / 0.496, r2
+0.879 / 0.498, r3 0.888 / 0.620. Round 4 changed ABSOLUTE throughput far
+more than the ratio: int64 doc keys through the fused kernel, hash-dedup,
+hash-before-explode, and core-aware split sizing roughly doubled docs/sec
+at BOTH core counts — see the pooled-evidence section — which moves the
+ratio only by whatever share of the removed work was bus-bound.)
 
 ## Per-stage wall breakdown at {big:,} docs (what stops scaling, quantified)
 
@@ -169,6 +198,16 @@ pretending the bound is tight). Reading:
   (`assign_points(emit='zone_counts')`), so match rows never cross the Arrow
   boundary and the single shuffle carries a few thousand (country, aez, n)
   partials regardless of corpus size.
+- round 4 attacked the remaining per-row cost on both sides of the Arrow
+  boundary: **int64 doc keys** (xxhash64(doc_id) computed JVM-side BEFORE
+  the span explode — geo_key_points — so both the JVM parse stage and the
+  Arrow payload carry 8-byte keys instead of strings, and span_idx/
+  posexplode are dropped from the count-only path), **pandas hash-dedup**
+  over two int64 columns in the kernel (7.8× faster than the previous
+  np.unique(axis=0) void sort at 2M pairs), and **core-aware scan splits**
+  (spark.sql.files.minPartitionNum = 3× parallelism, replacing the 128 MB
+  fixed splits that quantized a 1.4 GB corpus into a ragged 8+3 two-wave
+  schedule at 8 cores).
 
 ## Broadcast ↔ SMJ tile-path crossover
 
