@@ -36,10 +36,11 @@ def _triad(_):
     best = float("inf")
     for _ in range(REPS):
         t0 = time.perf_counter()
-        np.add(b, 3.0 * c, out=a)  # 2 reads + 1 write + temp traffic
+        np.multiply(c, 3.0, out=a)  # c read, a written
+        np.add(a, b, out=a)         # a, b read, a written — no temp array
         dt = time.perf_counter() - t0
         best = min(best, dt)
-    bytes_moved = 4 * N * 8  # b, c read; temp + a written (numpy temp for 3*c)
+    bytes_moved = 5 * N * 8  # exactly 5 array passes (no numpy temp)
     return bytes_moved / best / 1e9
 
 

@@ -12,7 +12,7 @@ Env knobs:
   BENCH_DOCS           flagship corpus size (default 200000)
   AEZSPARK_PREV_CONTROL    0 disables the prev-commit control (default on)
   AEZSPARK_CONTROL_QUERIES control subset (default 4 headline queries)
-  AEZSPARK_CONTROL_SAMPLES prev/head control pairs (default 1)
+  AEZSPARK_CONTROL_SAMPLES prev/head control pairs (default 2)
 
 Same-window prev-commit control: BENCH_rN.json files are recorded in
 different ten-minute windows on a shared host whose throughput drifts ~2×
@@ -232,18 +232,34 @@ def _ann(spark, sf_dir):
 CONTROL_QUERIES_DEFAULT = "flagship_docs,aez_by_country,dedup_minhash_lsh,simhash"
 
 
-def _prev_round_commit() -> str | None:
+def _prev_round_commit(repo: str | None = None) -> str | None:
     """The previous round's boundary commit (the driver commits 'round N:
-    ...' at each round end) — the baseline the control compares against."""
+    ...' at each round end) — the baseline the control compares against.
+
+    Resolved as the newest round-boundary commit whose TREE differs from
+    HEAD's: when the driver runs the bench right after committing this
+    round's snapshot, the latest 'round N:' commit IS HEAD (round 4's
+    recorded control compared itself against itself and reported 0.66 on
+    identical code) — skipping tree-identical candidates makes a
+    post-snapshot run compare rN against r(N-1)."""
     import subprocess
 
+    if repo is None:
+        repo = os.path.dirname(os.path.abspath(__file__))
+
+    def _git(*args: str) -> str:
+        return subprocess.run(["git", "-C", repo, *args],
+                              capture_output=True, text=True,
+                              timeout=30).stdout.strip()
+
     try:
-        out = subprocess.run(
-            ["git", "-C", os.path.dirname(os.path.abspath(__file__)),
-             "log", "--grep", "^round [0-9]*:", "-n", "1", "--format=%H"],
-            capture_output=True, text=True, timeout=30)
-        sha = out.stdout.strip()
-        return sha or None
+        head_tree = _git("rev-parse", "HEAD^{tree}")
+        for sha in _git("log", "--grep", "^round [0-9]*:", "-n", "20",
+                        "--format=%H").splitlines():
+            sha = sha.strip()
+            if sha and _git("rev-parse", f"{sha}^{{tree}}") != head_tree:
+                return sha
+        return None
     except Exception:
         return None
 
@@ -335,18 +351,43 @@ def _prev_commit_control(head_inproc: dict) -> dict | None:
                             "ratio": round(min(hv) / min(pv), 3),
                             "prev_samples": pv, "head_samples": hv,
                             "head_inproc_s": head_inproc.get(q)}
+            # A/A noise band from the SAME-code samples: the spread between
+            # repeated runs of identical code is the smallest delta the A/B
+            # ratio can resolve (round 4's accidental self-comparison
+            # measured 0.66 on identical code — the band must be disclosed)
+            same_code = [s / min(vals) for vals in (pv, hv) if len(vals) > 1
+                         for s in vals]
+            if same_code:
+                per_query[q]["aa_spread"] = round(max(same_code), 3)
     tot_p = sum(v["prev_s"] for v in per_query.values())
     tot_h = sum(v["head_s"] for v in per_query.values())
+    # explicit A/A pair ratio: 2nd head subprocess vs 1st (identical code,
+    # same window, same estimator inputs) — deviation from 1.0 is pure noise
+    aa_pairs = [(r0["queries"][q], r1["queries"][q])
+                for q in queries
+                for r0, r1 in [head_runs[:2]] if len(head_runs) >= 2
+                if q in r0.get("queries", {}) and q in r1.get("queries", {})]
+    aa_ratio = (round(sum(b for _, b in aa_pairs)
+                      / sum(a for a, _ in aa_pairs), 3)
+                if aa_pairs and sum(a for a, _ in aa_pairs) else None)
+    spreads = [v["aa_spread"] for v in per_query.values() if "aa_spread" in v]
+    noise_band = round(max(spreads), 3) if spreads else None
     return {
         "prev_commit": sha,
         "queries": per_query,
         "total_prev_s": round(tot_p, 3),
         "total_head_s": round(tot_h, 3),
         "head_over_prev_ratio": round(tot_h / tot_p, 3) if tot_p else None,
+        "aa_pair_ratio": aa_ratio,
+        "aa_noise_band": noise_band,
         "note": ("same-window interleaved A/B vs the previous round's commit,"
                  " fresh JVM per sample, order alternated; ratio < 1 means"
                  " this round is faster — compare THIS, not BENCH_rN.json"
-                 " numbers across rounds (host drifts ~2x between windows)"
+                 " numbers across rounds (host drifts ~2x between windows)."
+                 " aa_pair_ratio is head-vs-head on identical code;"
+                 " aa_noise_band is the max same-code sample spread — A/B"
+                 " ratios inside [1/band, band] are indistinguishable from"
+                 " noise"
                  + ("; TRUNCATED by AEZSPARK_CONTROL_BUDGET_S after "
                     f"{len(prev_runs)} pair(s) — the first pair ran"
                     " prev-first (cold side bias against prev)"
