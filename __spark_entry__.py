@@ -441,13 +441,23 @@ def _ensure_ann_index(spark, sf_dir: str, name: str, build_fn,
     """Build-once materialized ANN index (the offline CTAS): written
     partitionBy(probe key) so probe queries are partition-pruned reads —
     the round-3 registered probes recomputed assignments with a full scan
-    each query, an unpruned scan at 100 TB. Staleness is keyed by a params
-    hash (centroid/plane literals), so retraining or code changes rebuild."""
+    each query, an unpruned scan at 100 TB. Staleness is keyed by BOTH the
+    params hash (centroid/plane literals) AND the source corpus fingerprint
+    (tables.source_fingerprint of embeddings.parquet), so retraining, code
+    changes, or an in-place regeneration of the corpus all rebuild — a
+    params-only key silently served indexes built from old data (round-4
+    ADVICE). The index path uses the full normalized sf_dir (basename +
+    path hash), so two sf_dirs sharing a basename cannot collide."""
     import hashlib as _hl
 
-    sf_name = os.path.basename(os.path.normpath(sf_dir))
-    path = os.path.join(_ANN_INDEX_BASE, sf_name, name)
-    digest = _hl.md5(params_key.encode()).hexdigest()
+    from aezspark.tables import source_fingerprint
+
+    sf_real = os.path.realpath(sf_dir)
+    sf_key = (os.path.basename(sf_real) + "_"
+              + _hl.md5(sf_real.encode()).hexdigest()[:8])
+    path = os.path.join(_ANN_INDEX_BASE, sf_key, name)
+    data_fp = source_fingerprint(os.path.join(sf_real, "embeddings.parquet"))
+    digest = _hl.md5(f"{params_key}|data:{data_fp}".encode()).hexdigest()
     if _ANN_INDEX_CACHE.get(path) != digest:
         marker = os.path.join(path, "_params.json")
         stale = True
@@ -467,8 +477,12 @@ def _trained_ivf_centroids(spark, sf_dir: str) -> list[list[float]]:
     """Seeded k-means IVF centroids trained via Spark DataFrame ops on this
     corpus (Lloyd, 4 iterations, ivf_centroids seed init). Deterministic and
     bit-identical to the numpy mirror the oracle injects as literals
-    (tests/test_ivf_train.py pins the equality)."""
-    key = os.path.normpath(sf_dir)
+    (tests/test_ivf_train.py pins the equality). Cache key includes the
+    corpus fingerprint so an in-place regeneration retrains."""
+    from aezspark.tables import source_fingerprint
+
+    key = (os.path.realpath(sf_dir), source_fingerprint(
+        os.path.join(os.path.realpath(sf_dir), "embeddings.parquet")))
     if key not in _TRAINED_CENTROIDS_CACHE:
         _TRAINED_CENTROIDS_CACHE[key] = corpus.ivf_train(
             _t(spark, sf_dir, "embeddings"), corpus.ivf_centroids(64, 8),

@@ -32,6 +32,7 @@ class World:
         self.regions_dim = sources.regions_dim(spark, self.boundaries)
         self._asg: DataFrame | None = None
         self._asg_fine: DataFrame | None = None
+        self._docs_cache: dict = {}
         self._cache = cache_assignment
 
     def cells(self, name: str) -> DataFrame:
@@ -113,7 +114,30 @@ class World:
             self.coarse, self.fine)
 
     def documents(self) -> DataFrame:
-        return self.spark.read.parquet(os.path.join(self.fx_dir, "documents.parquet"))
+        """The interleaved documents corpus, read through the snapshot-table
+        layer by default (north rule: "over Iceberg tables"): the fixture
+        parquet is zero-copy imported (Iceberg add_files-style — manifest
+        registration, no rewrite) into build/tables/ keyed by the source's
+        content fingerprint, and the scan is planned from the manifest's
+        file list instead of a directory listing. Same physical files, same
+        plan shape → zero read overhead (bench prev-commit control ≈ 1.0).
+        AEZSPARK_RAW_PARQUET=1 opts out (A/B + oracle independence)."""
+        src = os.path.join(self.fx_dir, "documents.parquet")
+        raw = os.environ.get("AEZSPARK_RAW_PARQUET") == "1"
+        if raw not in self._docs_cache:
+            if raw:
+                self._docs_cache[raw] = self.spark.read.parquet(src)
+            else:
+                from .tables import ensure_imported_table
+
+                repo_root = os.path.dirname(
+                    os.path.dirname(os.path.abspath(__file__)))
+                tables_root = os.environ.get(
+                    "AEZSPARK_TABLES_ROOT",
+                    os.path.join(repo_root, "build", "tables"))
+                self._docs_cache[raw] = ensure_imported_table(
+                    self.spark, src, tables_root).read()
+        return self._docs_cache[raw]
 
     def expected(self, name: str) -> DataFrame:
         return self.spark.read.parquet(os.path.join(self.fx_dir, f"expected_{name}.parquet"))

@@ -217,3 +217,79 @@ class SnapshotTable:
                 continue  # another vacuum raced us — already gone
             removed.append(f)
         return removed
+
+
+def source_fingerprint(path: str) -> str:
+    """Content-identity digest of a parquet file-or-directory: sorted
+    (relative name, size, mtime_ns) of every *.parquet under `path`, plus
+    the normalized absolute path itself. Changes whenever the source data
+    is regenerated in place — the staleness key for derived artifacts
+    (snapshot-table imports, materialized ANN indexes) that must not
+    silently serve results built from old data."""
+    import hashlib
+
+    root = os.path.realpath(path)
+    entries = []
+    if os.path.isfile(root):
+        st = os.stat(root)
+        entries.append((os.path.basename(root), st.st_size, st.st_mtime_ns))
+    else:
+        for dirpath, _dirs, files in os.walk(root):
+            for f in sorted(files):
+                if f.endswith(".parquet"):
+                    p = os.path.join(dirpath, f)
+                    st = os.stat(p)
+                    entries.append((os.path.relpath(p, root), st.st_size,
+                                    st.st_mtime_ns))
+    h = hashlib.sha256(repr((root, sorted(entries))).encode())
+    return h.hexdigest()[:16]
+
+
+def _parquet_files_under(path: str) -> list[str]:
+    """Absolute paths of the *.parquet files of a parquet dataset dir (or
+    the file itself)."""
+    root = os.path.realpath(path)
+    if os.path.isfile(root):
+        return [root]
+    out = []
+    for dirpath, _dirs, files in os.walk(root):
+        for f in sorted(files):
+            if f.endswith(".parquet"):
+                out.append(os.path.join(dirpath, f))
+    return sorted(out)
+
+
+def ensure_imported_table(spark: SparkSession, src_path: str,
+                          tables_root: str) -> SnapshotTable:
+    """Zero-copy import of an existing parquet dataset into a snapshot
+    table (Iceberg's `add_files` migration procedure: register the EXISTING
+    files in a manifest — no rewrite), so pipelines read via manifest
+    planning instead of directory listing. Idempotent and staleness-safe:
+    the table dir is keyed by `source_fingerprint(src_path)`, so
+    regenerating the source in place produces a NEW table instead of
+    silently serving the old import. Concurrent importers are resolved by
+    the snapshot CAS — the loser just reads the winner's identical commit.
+
+    The imported files live outside data/ (absolute paths in the manifest);
+    like Iceberg add_files imports they are external: readers plan from
+    them, but vacuum never touches them.
+    """
+    fp = source_fingerprint(src_path)
+    tbl = SnapshotTable(spark, os.path.join(tables_root, f"import_{fp}"))
+    if tbl.current_snapshot_id() is None:
+        files = _parquet_files_under(src_path)
+        if not files:
+            raise FileNotFoundError(f"no parquet files under {src_path}")
+        # footer-only schema read on the driver (no Spark job): the manifest
+        # schema field is informational — read() plans from the file list
+        import pyarrow.parquet as pq
+
+        schema_json = json.dumps(
+            {"format": "parquet",
+             "arrow_schema": pq.read_schema(files[0]).to_string()})
+        try:
+            tbl._commit(files, schema_json, "add_files")
+        except ConcurrentCommitError:
+            pass  # a racing importer of the same fingerprint committed
+                  # the identical file list — reuse it
+    return tbl

@@ -85,3 +85,52 @@ def test_lsh_indexed_matches_scan_baseline(spark, emb, qvec, tmp_path):
                        {os.path.dirname(f) for f in idx.inputFiles()}
                        if d.endswith(f"bucket={qbucket}")}
     assert len(touched) == 1
+
+
+def test_ann_index_staleness_keyed_on_data(spark, tmp_path, monkeypatch):
+    """Regenerating the embeddings corpus in place must invalidate the
+    materialized index — a params-only staleness key silently serves
+    answers built from the OLD data (round-4 ADVICE item)."""
+    import shutil
+
+    import __spark_entry__ as E
+
+    sf = str(tmp_path / "sfX")
+    os.makedirs(sf)
+    shutil.copy(f"{SF_DIR}/embeddings.parquet", f"{sf}/embeddings.parquet")
+    monkeypatch.setattr(E, "_ANN_INDEX_BASE", str(tmp_path / "idx"))
+    builds = []
+
+    def build(path):
+        builds.append(path)
+        (spark.read.parquet(f"{sf}/embeddings.parquet")
+         .withColumn("centroid_id", F.lit(0))
+         .write.partitionBy("centroid_id").mode("overwrite").parquet(path))
+
+    E._ensure_ann_index(spark, sf, "t", build, "params-v1")
+    E._ensure_ann_index(spark, sf, "t", build, "params-v1")
+    assert len(builds) == 1  # same params + same data → cached
+    # in-place regeneration (same path, new content/mtime) → rebuild
+    (spark.read.parquet(f"{sf}/embeddings.parquet").limit(5)
+     .write.parquet(f"{sf}/emb_new.parquet"))
+    os.remove(f"{sf}/embeddings.parquet")
+    os.rename(f"{sf}/emb_new.parquet", f"{sf}/embeddings.parquet")
+    E._ensure_ann_index(spark, sf, "t", build, "params-v1")
+    assert len(builds) == 2
+
+
+def test_ann_index_path_not_keyed_on_basename_alone(tmp_path, monkeypatch):
+    """Two sf_dirs sharing a basename must not collide on the index path."""
+    import hashlib
+
+    import __spark_entry__ as E
+
+    monkeypatch.setattr(E, "_ANN_INDEX_BASE", str(tmp_path / "idx"))
+    paths = set()
+    for parent in ("a", "b"):
+        sf = str(tmp_path / parent / "sf0.01")
+        os.makedirs(sf)
+        sf_real = os.path.realpath(sf)
+        paths.add(os.path.basename(sf_real) + "_"
+                  + hashlib.md5(sf_real.encode()).hexdigest()[:8])
+    assert len(paths) == 2

@@ -118,3 +118,56 @@ def test_documents_pipeline_over_snapshot_table(spark, world, tmp_path):
     assigned = docs_mod.assign_documents(t.read(), world.bidx)
     direct = docs_mod.assign_documents(world.documents(), world.bidx)
     assert assigned.count() == direct.count()
+
+
+def _write_src(spark, path, lo, hi):
+    _df(spark, lo, hi).write.mode("overwrite").parquet(path)
+
+
+def test_imported_table_zero_copy_and_staleness(spark, tmp_path):
+    """ensure_imported_table registers the EXISTING parquet files (no
+    rewrite) and re-keys on the source fingerprint: regenerating the source
+    in place yields a NEW table instead of serving the old import."""
+    from aezspark.tables import ensure_imported_table, source_fingerprint
+
+    src = str(tmp_path / "src.parquet")
+    root = str(tmp_path / "tables")
+    _write_src(spark, src, 0, 50)
+    t1 = ensure_imported_table(spark, src, root)
+    assert t1.read().count() == 50
+    # zero-copy: the manifest references the source's own files, data/ empty
+    assert all(f.startswith(os.sep) for f in t1.snapshot()["files"])
+    assert not os.listdir(t1.data_dir)
+    # idempotent: same source → same table dir, no second commit
+    t1b = ensure_imported_table(spark, src, root)
+    assert t1b.table_dir == t1.table_dir
+    assert t1b.current_snapshot_id() == 1
+    # regenerate the source in place → fingerprint changes → fresh table
+    fp_before = source_fingerprint(src)
+    _write_src(spark, src, 0, 80)
+    assert source_fingerprint(src) != fp_before
+    t2 = ensure_imported_table(spark, src, root)
+    assert t2.table_dir != t1.table_dir
+    assert t2.read().count() == 80
+
+
+def test_world_documents_reads_snapshot_table_by_default(spark, world,
+                                                         tmp_path,
+                                                         monkeypatch):
+    """North rule: the flagship documents substrate IS the snapshot-table
+    layer by default — same rows as the raw parquet, import materialized
+    under AEZSPARK_TABLES_ROOT."""
+    from aezspark.pipelines import World
+
+    root = str(tmp_path / "tables")
+    monkeypatch.setenv("AEZSPARK_TABLES_ROOT", root)
+    monkeypatch.delenv("AEZSPARK_RAW_PARQUET", raising=False)
+    # fresh World: the fixture-scoped one memoizes documents() per mode
+    fresh = World(spark, world.fx_dir, cache_assignment=False)
+    via_table = fresh.documents()
+    assert os.listdir(root)  # the import happened here
+    monkeypatch.setenv("AEZSPARK_RAW_PARQUET", "1")
+    raw = fresh.documents()
+    assert via_table.count() == raw.count()
+    assert via_table.schema == raw.schema
+    assert via_table.exceptAll(raw).count() == 0
