@@ -23,6 +23,7 @@ Two probe shapes:
 
 from __future__ import annotations
 
+import os
 from typing import Iterator
 
 import numpy as np
@@ -262,6 +263,10 @@ def assign_points(points: DataFrame, index, lat_col: str = "lat",
         T.StructField("aez_code", T.IntegerType()),
         T.StructField("n_docs", T.LongType())])
 
+    # read driver-side and capture in the closure: executor worker daemons
+    # inherit the env of session start, not later driver-side changes
+    zc_budget = int(os.environ.get("AEZSPARK_ZC_DEDUP_BUDGET_ROWS", "4000000"))
+
     def zc_kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         # Integer dedup path: country → small int code (position in the
         # sorted unique-country array, shared by construction across every
@@ -269,17 +274,35 @@ def assign_points(points: DataFrame, index, lat_col: str = "lat",
         # (combo = ccode·512 + aez). Distinct (combo, doc_key) pairs per
         # partition via pandas hash-dedup over two int64 columns (measured
         # 7.8x faster than np.unique(axis=0) and ~an order of magnitude
-        # faster than object-row dedup). Per-batch dedup first bounds
-        # working-set growth; the cross-batch dedup holds only this
-        # partition's DISTINCT pairs. String doc keys run the same path with
-        # slower object hashing (the production path feeds an int64
+        # faster than object-row dedup). String doc keys run the same path
+        # with slower object hashing (the production path feeds an int64
         # surrogate key).
+        #
+        # MEMORY BOUND: the irreducible per-partition working set is this
+        # partition's TRUE distinct (combo, key) set — ≤ the partition's
+        # match-row count ≤ (split rows × match multiplicity), i.e. tens of
+        # MB as int64 pairs at the 64 MB local / core-aware split sizing
+        # (session.py). Transient growth ABOVE that (per-batch-deduped
+        # frames accumulating cross-batch duplicates) is capped by
+        # incremental compaction at AEZSPARK_ZC_DEDUP_BUDGET_ROWS (default
+        # 4M pairs ≈ 64 MB): when the pending frames exceed the budget they
+        # are concat+dedup-compacted in place; if the compacted distinct set
+        # itself exceeds the budget, the budget doubles (amortized O(n)
+        # compaction work) — the kernel then degrades gracefully toward the
+        # irreducible bound instead of holding every duplicate until EOF.
         idx: BoundaryIndex = bidx.value
         countries = idx.countries()
-        c_uniq, poly_ccode = np.unique(countries.astype(str),
-                                       return_inverse=True)
+        # null-country polygons: astype(str) would mint the literal 'None';
+        # encode nulls as a sentinel code and decode back to true null on
+        # emit so the fused path agrees with the rows/composed path
+        null_sentinel = "\x00<null-country>"
+        cstr = np.array([null_sentinel if pd.isna(c) else str(c)
+                         for c in countries], dtype=object)
+        c_uniq, poly_ccode = np.unique(cstr, return_inverse=True)
         tl = tile_lookup.value
+        budget = zc_budget
         parts: list[pd.DataFrame] = []
+        pending_rows = 0
         for pdf in batches:
             if not len(pdf):
                 continue
@@ -300,15 +323,24 @@ def assign_points(points: DataFrame, index, lat_col: str = "lat",
             # hash-based dedup (int64 columns): measured 7.8x faster than
             # np.unique(axis=0) (void-dtype sort) at 2M pairs; object doc
             # keys take the same path, just with slower object hashing
-            parts.append(pd.DataFrame({"combo": combo, "k": keys})
-                         .drop_duplicates())
+            bdf = pd.DataFrame({"combo": combo, "k": keys}).drop_duplicates()
+            parts.append(bdf)
+            pending_rows += len(bdf)
+            if pending_rows > budget:
+                parts = [pd.concat(parts, ignore_index=True)
+                         .drop_duplicates()]
+                pending_rows = len(parts[0])
+                if pending_rows > budget:
+                    budget = pending_rows * 2
         if not parts:
             return
         allp = pd.concat(parts, ignore_index=True).drop_duplicates()
         agg = allp.groupby("combo", sort=False).size()
         combos = agg.index.to_numpy(dtype=np.int64)
         counts = agg.to_numpy()
-        yield pd.DataFrame({"country": c_uniq[combos // 512],
+        country_out = c_uniq[combos // 512].astype(object)
+        country_out[country_out == null_sentinel] = None
+        yield pd.DataFrame({"country": country_out,
                             "aez_code": (combos % 512).astype("int32"),
                             "n_docs": counts.astype("int64")})
 

@@ -4,7 +4,8 @@ The reference is strictly batch (`__main__` scripts, process_imagery.py:511-516)
 — SURVEY §2.7 records "no streaming semantics". The engine nevertheless exposes
 the natural streaming surface a live corpus needs: a file-source stream of
 document parquet drops, enriched micro-batch by micro-batch with the SAME
-fused assign kernel as the batch path (foreachBatch → assign_points), with
+fused flagship kernel as the batch path (foreachBatch →
+documents.assign_zone_counts), with
 counts appended to a zone-count sink. Exactly-once comes from the streaming
 checkpoint + idempotent per-batch output paths.
 
@@ -19,7 +20,6 @@ import os
 from pyspark.sql import DataFrame, SparkSession, functions as F, types as T
 
 from . import documents as docs_mod
-from .joins import assign_points
 
 DOC_SCHEMA = T.StructType([
     T.StructField("doc_id", T.StringType()),
@@ -43,18 +43,19 @@ def stream_documents(spark: SparkSession, in_dir: str,
 
 def enrich_stream(docs_stream: DataFrame, bidx, tile_lookup, fine,
                   out_dir: str, checkpoint_dir: str):
-    """Streaming enrichment: per micro-batch, run the fused batch kernel and
-    append (batch_id, country, aez_code, n_docs) counts. foreachBatch reuses
-    the exact batch code path — one engine, two execution modes."""
+    """Streaming enrichment: per micro-batch, run the SAME fused flagship
+    kernel as the batch path (documents.assign_zone_counts: one Arrow pass
+    doing PIP + kNN + tile lookup + partition-local dedup + partial count;
+    the only shuffle carries (country, aez_code, n) partials — no per-batch
+    global distinct of doc rows). foreachBatch reuses the exact batch code
+    path — one engine, one plan shape, two execution modes."""
     os.makedirs(out_dir, exist_ok=True)
 
     def process(batch_df: DataFrame, batch_id: int):
         if batch_df.isEmpty():
             return
-        pts = docs_mod.indexed_points(batch_df)
-        enriched = assign_points(pts, bidx, tile_lookup=tile_lookup, fine=fine,
-                                 project=["doc_id"])
-        counts = (docs_mod.doc_zone_counts(enriched)
+        counts = (docs_mod.assign_zone_counts(batch_df, bidx, tile_lookup,
+                                              fine)
                   .withColumn("batch_id", F.lit(batch_id)))
         # idempotent per-batch path: a replayed batch overwrites itself
         counts.write.mode("overwrite").parquet(
