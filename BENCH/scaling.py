@@ -78,11 +78,17 @@ def warm_fixture(n_docs: int) -> None:
 def measure(n_docs: int) -> dict:
     warm_fixture(n_docs)
     run_once(N_CORES * 4, n_docs)  # warm run: builds the tiles cache, discarded
-    rounds = int(os.environ.get("BENCH_ROUNDS", "2"))
+    rounds = int(os.environ.get("BENCH_ROUNDS", "3"))
     rs_n, rs_4n = [], []
-    for _ in range(rounds):
-        rs_n.append(run_once(N_CORES, n_docs))
-        rs_4n.append(run_once(N_CORES * 4, n_docs))
+    for i in range(rounds):
+        # alternate the order across rounds: linear host drift within the
+        # run would otherwise systematically favor whichever side runs
+        # later; min-pooling across alternated rounds cancels it
+        order = ((N_CORES, rs_n), (N_CORES * 4, rs_4n))
+        if i % 2 == 1:
+            order = order[::-1]
+        for cpus, sink in order:
+            sink.append(run_once(cpus, n_docs))
     tn = min(r["queries"]["flagship_docs"] for r in rs_n)
     t4 = min(r["queries"]["flagship_docs"] for r in rs_4n)
     return {
@@ -240,6 +246,13 @@ Raw JSON of the best runs:
 _Regenerate with `python BENCH/scaling.py` (env: BENCH_DOCS_LIST,
 BENCH_N_CORES, BENCH_ROUNDS, BENCH_REPS)._
 """
+    notes = os.path.join(REPO, "BENCH", "HAND_NOTES.md")
+    if os.path.exists(notes):
+        with open(notes) as f:
+            md += ("\n---\n\n_The section below is HAND-MAINTAINED"
+                   " supporting evidence (BENCH/HAND_NOTES.md), appended"
+                   " verbatim at regeneration — it is NOT produced by this"
+                   " protocol run._\n\n" + f.read())
     with open(os.path.join(REPO, "BENCH", "BASELINE.md"), "w") as f:
         f.write(md)
     print(md)

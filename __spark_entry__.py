@@ -352,7 +352,10 @@ def q_ngram_jaccard(spark, sf_dir):
 
 
 def q_simhash(spark, sf_dir):
-    return corpus.simhash16(_t(spark, sf_dir, "documents"))
+    """64-bit SimHash (round 5 widened from 16; same construction ×4 —
+    one row per token through the single groupBy, 64 conditional per-bit
+    sums on the same row, signed two's-complement bit 63)."""
+    return corpus.simhash(_t(spark, sf_dir, "documents"), bits=64)
 
 
 def q_language_id(spark, sf_dir):
@@ -1180,10 +1183,13 @@ def oracle_sql() -> dict[str, str]:
                        sum(2 * ((instr('0123456789abcdef',
                                        substr(h, CAST(1 + floor(J / 4) AS INT), 1)) - 1)
                                 >> CAST(3 - J % 4 AS INT) & 1) - 1) AS s
-                FROM toks, unnest(generate_series(0, 15)) AS j(J)
+                FROM toks, unnest(generate_series(0, 63)) AS j(J)
                 GROUP BY doc_id, J)
             SELECT doc_id,
-                   CAST(sum(CASE WHEN s > 0 THEN CAST(pow(2, J) AS BIGINT) ELSE 0 END) AS BIGINT)
+                   CAST(sum(CASE WHEN s > 0 THEN
+                                CASE WHEN J = 63 THEN -9223372036854775807 - 1
+                                     ELSE 1::BIGINT << J END
+                            ELSE 0 END) AS BIGINT)
                        AS simhash
             FROM bits GROUP BY doc_id""",
         "text_metrics": f"""WITH {_SHINGLES_CTE.lstrip()},

@@ -144,18 +144,25 @@ def jaccard_pairs(shingles: DataFrame, pairs: DataFrame,
                      ).alias("jaccard")))
 
 
-def simhash16(docs: DataFrame, text_col: str = "text") -> DataFrame:
-    """16-bit SimHash over whitespace tokens: per-token md5 → first 4 hex
-    digits → 16 bits; simhash bit j = sign of Σ_tokens (2·bit_j − 1).
-    Kept to 16 bits so the oracle stays a tractable SQL expression; widening
-    to 64 is the same construction ×4.
+def simhash(docs: DataFrame, text_col: str = "text",
+            bits: int = 64) -> DataFrame:
+    """`bits`-bit SimHash over whitespace tokens (default 64): per-token
+    md5 → leading hex nibbles → bits; simhash bit j = sign of
+    Σ_tokens (2·bit_j − 1). md5's 32 hex digits cap bits at 128; 64 uses
+    the first 16 digits.
 
-    Shuffle shape: ONE row per token through the groupBy — the 16 per-bit
-    sums are 16 conditional aggregate expressions over the SAME row (bit j is
-    a literal-position nibble extract of the token hash), not a ×16 J-explode
-    (the round-2 form inflated shuffle input 16×; same values, 1/16th the
-    shuffle — per-bit sign uses Σ(2b−1) = 2Σb − n, so only Σb per bit plus one
-    shared token count cross the shuffle)."""
+    Shuffle shape: ONE row per token through the groupBy — the per-bit
+    sums are `bits` conditional aggregate expressions over the SAME row
+    (bit j is a literal-position nibble extract of the token hash), not a
+    ×bits J-explode (the round-2 form inflated shuffle input 16×; same
+    values, 1/bits-th the shuffle — per-bit sign uses Σ(2b−1) = 2Σb − n,
+    so only Σb per bit plus one shared token count cross the shuffle).
+
+    The result is a SIGNED int64: bit 63's weight is −2⁶³ (two's
+    complement) so the value round-trips through BIGINT on both engines —
+    Hamming distance over the raw bits is unaffected."""
+    if not 1 <= bits <= 64:
+        raise ValueError(f"simhash: bits must be in [1, 64], got {bits}")
     tokens = (docs.select("doc_id", F.explode(F.split(F.col(text_col), " ")).alias("tok"))
               .withColumn("h", F.md5(F.col("tok"))))
 
@@ -167,14 +174,21 @@ def simhash16(docs: DataFrame, text_col: str = "text") -> DataFrame:
 
     agg = (tokens.groupBy("doc_id")
            .agg(F.count("*").alias("n"),
-                *[F.sum(bit(j)).alias(f"b{j}") for j in range(16)]))
+                *[F.sum(bit(j)).alias(f"b{j}") for j in range(bits)]))
     sim = None
-    for j in range(16):
+    for j in range(bits):
         # sign test: Σ(2·bit−1) > 0  ⟺  2·Σbit − n > 0
-        t = (F.when(F.lit(2) * F.col(f"b{j}") - F.col("n") > 0, F.lit(1 << j))
-             .otherwise(F.lit(0)))
+        weight = -(1 << 63) if j == 63 else (1 << j)
+        t = (F.when(F.lit(2) * F.col(f"b{j}") - F.col("n") > 0,
+                    F.lit(weight).cast("long"))
+             .otherwise(F.lit(0).cast("long")))
         sim = t if sim is None else sim + t
     return agg.select("doc_id", sim.cast("long").alias("simhash"))
+
+
+def simhash16(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """16-bit SimHash (the pre-round-5 surface): simhash(bits=16)."""
+    return simhash(docs, text_col, bits=16)
 
 
 # ---------------------------------------------------- similarity search

@@ -61,3 +61,48 @@ def test_empty_cluster_keeps_centroid(spark):
     got = corpus.ivf_train(emb, init, iters=2)
     assert got[1] == init[1]
     assert got[0] == pytest.approx([1.0] * 4)
+
+
+def test_empty_cluster_keeps_previous_centroid(spark):
+    """Adversarial init: one centroid placed far outside the data captures
+    zero points every iteration — the keep-previous rule must hold it
+    EXACTLY in place (no re-seeding, no NaN), deterministically, and Spark
+    must still bit-match the numpy mirror."""
+    rng = np.random.default_rng(7)
+    pts = np.round(rng.normal(0.0, 1.0, (200, 4)), 3)  # data near origin
+    far = [100.0, 100.0, 100.0, 100.0]
+    init = [[0.5, 0.5, 0.5, 0.5], [-0.5, -0.5, -0.5, -0.5], far]
+
+    exp, inertia = corpus.ivf_train_numpy(pts, init, iters=3)
+    assert exp[2] == far  # empty cluster pinned bit-for-bit
+    assert all(np.isfinite(v) for c in exp for v in c)
+    assert inertia[-1] <= inertia[0]
+
+    emb = spark.createDataFrame(
+        [(i, [float(v) for v in row]) for i, row in enumerate(pts)],
+        "vec_id LONG, embedding ARRAY<DOUBLE>")
+    for parts in (1, 5):
+        got = corpus.ivf_train(emb.repartition(parts), init, iters=3)
+        assert got[2] == far
+        assert all(got[i][d] == exp[i][d]
+                   for i in range(3) for d in range(4))
+
+
+def test_cluster_that_empties_mid_training_is_kept(spark):
+    """A centroid can capture points in iter 1 and lose them all in iter 2
+    (its points re-assign after recentring). The kept centroid must then be
+    its LAST non-empty recentring, not the seed — pinned via the numpy
+    mirror and cross-checked on Spark."""
+    # 1D-ish setup engineered so centroid 1 starts between two masses,
+    # captures the midpoint cloud in iter 1, then both heavy masses pull
+    # the boundary past it in iter 2
+    pts = np.array([[0.0, 0.0]] * 50 + [[10.0, 0.0]] * 50
+                   + [[4.9, 0.0]] * 3)
+    init = [[0.1, 0.0], [5.0, 0.0], [9.9, 0.0]]
+    exp, _ = corpus.ivf_train_numpy(pts, init, iters=4)
+    emb = spark.createDataFrame(
+        [(i, [float(v) for v in row]) for i, row in enumerate(pts)],
+        "vec_id LONG, embedding ARRAY<DOUBLE>")
+    got = corpus.ivf_train(emb.repartition(3), init, iters=4)
+    assert all(got[i][d] == exp[i][d] for i in range(3) for d in range(2))
+    assert all(np.isfinite(v) for c in got for v in c)

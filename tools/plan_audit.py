@@ -150,9 +150,10 @@ Notes:
   doc_id string, and the in-kernel dedup is a pandas hash-dedup
   (drop_duplicates) over the two int64 (combo, key) columns — measured
   7.8x faster than np.unique(axis=0) at 2M pairs (BENCH/BASELINE.md).
-- **simhash** (round 3): one row per token through the single groupBy — the
-  16 per-bit sums are conditional aggregates on the same row, so the shuffle
-  carries |tokens| rows (was 16·|tokens| with the J-explode).
+- **simhash** (round 3; widened 16→64 bit in round 5): one row per token
+  through the single groupBy — the 64 per-bit sums are conditional
+  aggregates on the same row, so the shuffle carries |tokens| rows (was
+  16·|tokens| with the round-2 J-explode, which would be 64· now).
 - **neardup_cc_round** (round 3): one label-propagation round — edge-join +
   min-agg + left-join; these shuffles repeat O(component diameter) times with
   lineage cut per round, and the convergence count rides the checkpoint
