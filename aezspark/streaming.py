@@ -67,6 +67,49 @@ def enrich_stream(docs_stream: DataFrame, bidx, tile_lookup, fine,
             .trigger(availableNow=True))
 
 
+def enrich_stream_to_table(docs_stream: DataFrame, bidx, tile_lookup, fine,
+                           table_dir: str, checkpoint_dir: str):
+    """Streaming zone-count ingestion into a SNAPSHOT TABLE (north rule
+    end-to-end: the streaming sink is the Iceberg-style layer too): each
+    micro-batch runs the fused flagship kernel and APPENDS one atomic
+    snapshot whose manifest records the stream batch_id. foreachBatch is
+    at-least-once — a recovered stream can replay its last batch — so the
+    sink checks the snapshot chain first and SKIPS a batch_id that already
+    committed: at-least-once delivery + idempotent commit = exactly-once at
+    the table level, the same scheme as Iceberg's streaming sinks (the
+    snapshot summary is the transaction log). Readers always see complete
+    snapshots (manifest CAS), and time travel recovers any per-batch state.
+    """
+    from .tables import SnapshotTable
+
+    def process(batch_df: DataFrame, batch_id: int):
+        if batch_df.isEmpty():
+            return
+        tbl = SnapshotTable(batch_df.sparkSession, table_dir)
+        done = {s["summary"].get("stream_batch_id") for s in tbl.snapshots()}
+        if batch_id in done:
+            return  # replayed batch: already committed, skip (idempotent)
+        counts = (docs_mod.assign_zone_counts(batch_df, bidx, tile_lookup,
+                                              fine)
+                  .withColumn("batch_id", F.lit(batch_id)))
+        tbl.append(counts, summary={"stream_batch_id": batch_id})
+
+    return (docs_stream.writeStream
+            .foreachBatch(process)
+            .option("checkpointLocation", checkpoint_dir)
+            .trigger(availableNow=True))
+
+
+def read_zone_counts_table(spark: SparkSession, table_dir: str) -> DataFrame:
+    """Merged view over the snapshot-table stream sink (manifest-planned
+    read of the current snapshot; same roll-up as read_zone_counts)."""
+    from .tables import SnapshotTable
+
+    df = SnapshotTable(spark, table_dir).read()
+    return (df.groupBy("country", "aez_code")
+            .agg(F.sum("n_docs").alias("n_docs")))
+
+
 def doc_content_hash(spans_col: str = "spans"):
     """Doc-level content key: md5 over the ordered span sequence — each span
     contributes (kind, text, media_ref) joined by \\x1e, spans joined by \\x1f

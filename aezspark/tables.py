@@ -101,7 +101,8 @@ class SnapshotTable:
         shutil.rmtree(staging)
         return files
 
-    def _commit(self, files: list[str], schema_json: str, operation: str) -> int:
+    def _commit(self, files: list[str], schema_json: str, operation: str,
+                summary: dict | None = None) -> int:
         """Optimistic-concurrency commit: the snapshot manifest is written to
         a tmp file and published with an atomic os.link create-if-absent CAS,
         so when two writers race to sid = parent+1 exactly one
@@ -120,7 +121,7 @@ class SnapshotTable:
             "operation": operation,
             "files": files,
             "schema": json.loads(schema_json),
-            "summary": {"n_files": len(files)},
+            "summary": {"n_files": len(files), **(summary or {})},
         }
         snap_path = os.path.join(self.meta_dir, f"snap-{sid}.json")
         # Write the FULL manifest to a private tmp file first, then publish it
@@ -156,16 +157,19 @@ class SnapshotTable:
         files = self._write_data_files(df)
         return self._commit(files, df.schema.json(), "overwrite")
 
-    def append(self, df: DataFrame) -> int:
+    def append(self, df: DataFrame, summary: dict | None = None) -> int:
         """Append: new snapshot = parent's files + the new files. Data files
         are written BEFORE the commit — a crash in between leaves only
-        unreferenced orphans, never a torn table."""
+        unreferenced orphans, never a torn table. `summary` entries are
+        recorded in the snapshot manifest (e.g. a streaming sink's batch_id
+        for replay idempotence)."""
         new_files = self._write_data_files(df)
         try:
             prev = self.snapshot()["files"]
         except FileNotFoundError:
             prev = []
-        return self._commit(prev + new_files, df.schema.json(), "append")
+        return self._commit(prev + new_files, df.schema.json(), "append",
+                            summary=summary)
 
     # ---- read path ----
 

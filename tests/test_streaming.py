@@ -71,3 +71,60 @@ def test_stream_resumes_from_checkpoint(world, tmp_path):
     st.enrich_stream(st.stream_documents(world.spark, in_dir),
                      world.bidx, tl, world.fine, out_dir, cp_dir).start().awaitTermination()
     assert len(os.listdir(out_dir)) > n_first  # new batch dirs appended
+
+
+def test_stream_to_snapshot_table_matches_batch(world, tmp_path):
+    """The snapshot-table streaming sink (one atomic append per micro-batch)
+    must produce the same merged counts as the batch fused pipeline."""
+    in_dir = str(tmp_path / "in")
+    tbl_dir = str(tmp_path / "tbl")
+    cp_dir = str(tmp_path / "cp")
+    _write_drops(world, in_dir)
+
+    tl = tile_lookup_broadcast(world.spark, world.tiles())
+    st.enrich_stream_to_table(st.stream_documents(world.spark, in_dir),
+                              world.bidx, tl, world.fine, tbl_dir,
+                              cp_dir).start().awaitTermination()
+
+    got = (st.read_zone_counts_table(world.spark, tbl_dir).toPandas()
+           .sort_values(["country", "aez_code"]).reset_index(drop=True))
+    exp = (docs_mod.assign_zone_counts(world.documents(), world.bidx, tl,
+                                       world.fine).toPandas()
+           .sort_values(["country", "aez_code"]).reset_index(drop=True))
+    pd.testing.assert_frame_equal(got, exp[got.columns.tolist()],
+                                  check_dtype=False)
+
+
+def test_stream_table_sink_replay_is_idempotent(world, tmp_path):
+    """foreachBatch is at-least-once; the sink must make it exactly-once at
+    the table level: replaying the WHOLE stream (fresh checkpoint, same
+    files → same batch_ids) commits nothing — batch_ids already recorded in
+    the snapshot chain are skipped."""
+    from aezspark.tables import SnapshotTable
+
+    in_dir = str(tmp_path / "in")
+    tbl_dir = str(tmp_path / "tbl")
+    _write_drops(world, in_dir, n_drops=2)
+
+    tl = tile_lookup_broadcast(world.spark, world.tiles())
+
+    def run(cp):
+        st.enrich_stream_to_table(
+            st.stream_documents(world.spark, in_dir, max_files_per_trigger=1),
+            world.bidx, tl, world.fine, tbl_dir,
+            str(tmp_path / cp)).start().awaitTermination()
+
+    run("cp1")
+    tbl = SnapshotTable(world.spark, tbl_dir)
+    snaps_before = [s["snapshot_id"] for s in tbl.snapshots()]
+    counts_before = (st.read_zone_counts_table(world.spark, tbl_dir)
+                     .toPandas().sort_values(["country", "aez_code"])
+                     .reset_index(drop=True))
+    assert len(snaps_before) >= 2  # one atomic append per micro-batch
+
+    run("cp2")  # full replay: fresh checkpoint, identical batch mapping
+    assert [s["snapshot_id"] for s in tbl.snapshots()] == snaps_before
+    counts_after = (st.read_zone_counts_table(world.spark, tbl_dir)
+                    .toPandas().sort_values(["country", "aez_code"])
+                    .reset_index(drop=True))
+    pd.testing.assert_frame_equal(counts_after, counts_before)
