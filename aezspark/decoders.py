@@ -72,9 +72,29 @@ def land_use(lccs: Column) -> Column:
             .when(lccs == 220, 'ice'))
 
 
+COVER56_ORDER = ['forest', 'cropland', 'grassland', 'bare', 'urban', 'water',
+                 'ice']
+
+
+def cover56_idx(lccs: Column) -> Column:
+    """P6 cover class as a 0-based index into COVER56_ORDER (the packed-
+    histogram form of cover56; degraded_analysis.py:115-131): cropland
+    merged, LCCS 100 in grassland (not forest)."""
+    return (F.when(lccs.isin([c for c in FOREST_LC if c != 100]), 0)
+            .when(lccs.isin(10, 30, 20), 1)
+            .when(lccs.isin(GRASS_LC + [100]), 2)
+            .when(lccs.isin(BARE_LC), 3)
+            .when(lccs == 190, 4)
+            .when(lccs == 210, 5)
+            .when(lccs == 220, 6))
+
+
 def cover56(lccs: Column) -> Column:
     """P6 degraded-analysis variant (degraded_analysis.py:115-131): cropland
-    merged, LCCS 100 in grassland (not forest)."""
+    merged, LCCS 100 in grassland (not forest). Must classify identically to
+    cover56_idx (the packed-histogram form) — keep the two when-chains in
+    lockstep. Not element_at(array, idx+1): a nullable computed index inside
+    element_at misevaluates under codegen subexpression elimination."""
     return (F.when(lccs.isin([c for c in FOREST_LC if c != 100]), 'forest')
             .when(lccs.isin(10, 30, 20), 'cropland')
             .when(lccs.isin(GRASS_LC + [100]), 'grassland')

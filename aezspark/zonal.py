@@ -134,27 +134,76 @@ def zonal_dg(asg: DataFrame, cells_lpd: DataFrame, coarse: GridSpec,
 
 # ---------------------------------------------------------------- AEZ (A7)
 
-def _aez_weight_exprs(lui, soili, slope: dict):
-    """The 29 AEZ weight expressions (yield_AEZs, process_imagery.py:137-198):
-    good+prime merged on moderate/steep AEZs; AEZ29 = bare∪ice∪urban plus
-    barren-soil not already counted as bare (the in-place barren[bare]=0).
-    All class tests are small-int comparisons (lu_idx/soil_idx codes) so the
-    hot projection stays cheap inside codegen."""
+def _lc_coarse_counts(cells_lc: DataFrame, coarse: GridSpec, class_idx,
+                      lanes: int) -> DataFrame:
+    """Per-coarse-cell histogram of a fine-raster class index, packed into
+    4-bit lanes of ONE long (`lu_packed`): lane i counts the coarse cell's
+    fine pixels whose class index is i. A ×3 refinement has exactly 9
+    children, so every lane ≤ 9 < 16 — no overflow; pixels whose class is
+    NULL (or absent from the fine table) are simply uncounted, recoverable
+    as 9 − Σ lanes.
+
+    This replaces the explode-×9 → fine-cell join formulation the per-pixel
+    reference loop suggests (process_imagery.py:255-267): the fine raster is
+    reduced by a map-side-combinable aggregation BEFORE any join, so its
+    shuffle carries one 8-byte long per coarse cell instead of 9 wide
+    attribute rows, and the class algebra downstream runs on 1/9 the rows.
+    At the 100 TB shape the fine land-cover raster is the largest input and
+    can never broadcast — this keeps its shuffle O(coarse cells), not
+    O(fine pixels)."""
+    assert 4 * lanes <= 64
+    from .grid import XY_MASK, Y_SHIFT
+    fy = F.shiftright(F.col("cell_id"), Y_SHIFT).bitwiseAND(F.lit(XY_MASK))
+    fx = F.col("cell_id").bitwiseAND(F.lit(XY_MASK))
+    key = cell_id_col(coarse.grid_id,
+                      F.floor(fy / F.lit(3)).cast("long"),
+                      F.floor(fx / F.lit(3)).cast("long"))
+    # NOTE: deliberately a CaseWhen, not element_at(array, class_idx+1):
+    # under whole-stage codegen, element_at with a nullable COMPUTED index
+    # participates in subexpression elimination and reads the index's
+    # primitive slot without its null flag (observed on Spark 4.1: a NULL
+    # class contributed to a wrong lane / INVALID_INDEX_OF_ZERO under ANSI).
+    # A when-chain is null-safe by construction: NULL matches no branch → 0.
+    contrib = F.lit(0).cast("long")
+    for i in range(lanes):
+        contrib = (F.when(class_idx == i, F.lit(1 << (4 * i)).cast("long"))
+                   .otherwise(contrib))
+    return (cells_lc.select(key.alias("cell_id"), contrib.alias("_c"))
+            .groupBy("cell_id").agg(F.sum("_c").alias("lu_packed")))
+
+
+def _lane(packed, i: int):
+    """Count in 4-bit lane i of a packed histogram, as a double weight."""
+    return F.shiftright(packed, 4 * i).bitwiseAND(F.lit(15)).cast("double")
+
+
+def _aez_weight_exprs(packed, soili, slope: dict):
+    """The 29 AEZ weight expressions (yield_AEZs, process_imagery.py:137-198)
+    over a packed per-coarse-cell land-use histogram: good+prime merged on
+    moderate/steep AEZs; AEZ29 = bare∪ice∪urban plus barren-soil pixels not
+    already counted as bare (the in-place barren[bare]=0 — non-bare here
+    includes pixels with no land-cover class, hence 9 − n_bare).
+
+    Each per-pixel indicator ind(lu==u & soilcond)·slope factorizes as
+    n_u · ind(soilcond) · slope because soil and slope are coarse-cell
+    attributes — the count replaces 9 identical per-pixel terms, so the
+    projection is shift/mask arithmetic inside codegen on 1/9 the rows."""
     def ind(cond):
         return F.when(cond, F.lit(1.0)).otherwise(F.lit(0.0))
 
     ws = []
     for use_i in (0, 3, 2, 1):  # forest, grassland, irrigated, rainfed
-        u = lui == use_i
-        ws.append(ind(u & (soili == 1)) * slope['minimal'])
-        ws.append(ind(u & (soili == 2)) * slope['minimal'])
-        ws.append(ind(u & soili.isin(1, 2)) * slope['moderate'])
-        ws.append(ind(u & soili.isin(1, 2)) * slope['steep'])
-        ws.append(ind(u & (soili == 3)) * slope['minimal'])
-        ws.append(ind(u & (soili == 3)) * slope['moderate'])
-        ws.append(ind(u & (soili == 3)) * slope['steep'])
-    bare = lui.isin(4, 7, 5)  # bare, ice, urban
-    ws.append(ind(bare | ((soili == 4) & ~F.coalesce(bare, F.lit(False)))))
+        n_u = _lane(packed, use_i)
+        ws.append(n_u * ind(soili == 1) * slope['minimal'])
+        ws.append(n_u * ind(soili == 2) * slope['minimal'])
+        ws.append(n_u * ind(soili.isin(1, 2)) * slope['moderate'])
+        ws.append(n_u * ind(soili.isin(1, 2)) * slope['steep'])
+        ws.append(n_u * ind(soili == 3) * slope['minimal'])
+        ws.append(n_u * ind(soili == 3) * slope['moderate'])
+        ws.append(n_u * ind(soili == 3) * slope['steep'])
+    # bare, ice, urban are lu_idx 4, 7, 5
+    n_bare = _lane(packed, 4) + _lane(packed, 7) + _lane(packed, 5)
+    ws.append(n_bare + ind(soili == 4) * (F.lit(9.0) - n_bare))
     # order: reference yields forest(1-7), grassland(8-14), irrigated(15-21),
     # rainfed(22-28), AEZ29 — exactly the loop order above.
     return ws
@@ -166,11 +215,14 @@ def aez_long(asg: DataFrame, cells_kg: DataFrame, cells_slope: DataFrame,
     """AEZ allocation per country (produce_CSV, process_imagery.py:201-281):
     multi-raster align join → class algebra → one grouped aggregation.
 
-    Plan: join all coarse attrs on coarse cell_id FIRST (9× cheaper than
-    post-explode), explode each coarse cell to its 9 fine pixels (the ×3
-    np.repeat, /9 area split), join land cover on the fine cell, compute the
-    29 weight expressions, aggregate grouped by (country, tmr) — 29 sums per
-    group, no row explosion — then melt the tiny result to long format.
+    Plan: join all coarse attrs on coarse cell_id; reduce the ×3-finer land
+    cover to a packed per-coarse-cell land-use histogram (the reference's
+    np.repeat ×3 explode, inverted into a partial aggregation — see
+    `_lc_coarse_counts`); join the two coarse-keyed tables; compute the 29
+    weight expressions over the counts; aggregate grouped by (country, tmr)
+    — 29 sums per group, no row explosion anywhere — then melt the tiny
+    result to long format. km2 stays the /9 per-fine-pixel share so count ×
+    km2 reproduces the per-pixel sum exactly.
     """
     attrs = (asg
              .join(cells_kg.select("cell_id", "kg_class"), "cell_id", "left")
@@ -181,22 +233,13 @@ def aez_long(asg: DataFrame, cells_kg: DataFrame, cells_slope: DataFrame,
              .filter(F.col("tmri").isNotNull())  # invalid regime contributes 0
              .withColumn("km2", km2_col(coarse, F.col("y")) / F.lit(9.0)))
 
-    fine9 = (attrs
-             .withColumn("dy", F.explode(F.sequence(F.lit(0), F.lit(2))))
-             .withColumn("dx", F.explode(F.sequence(F.lit(0), F.lit(2))))
-             .withColumn("fine_cell_id", cell_id_col(
-                 fine.grid_id,
-                 (F.col("y") * 3 + F.col("dy")),
-                 (F.col("x") * 3 + F.col("dx")))))
+    lcc = _lc_coarse_counts(cells_lc, coarse, D.lu_idx(F.col("lccs")), 8)
+    joined = attrs.join(lcc, "cell_id", "left")
 
-    joined = fine9.join(
-        cells_lc.select(F.col("cell_id").alias("fine_cell_id"), "lccs"),
-        "fine_cell_id", "left")
-
-    lui = D.lu_idx(F.col("lccs"))
+    packed = F.coalesce(F.col("lu_packed"), F.lit(0).cast("long"))
     soili = D.soil_idx(F.col("wk_class"))
     slope = D.slope_fractions({b: F.col(f"c{b}") for b in range(1, 9)})
-    ws = _aez_weight_exprs(lui, soili, slope)
+    ws = _aez_weight_exprs(packed, soili, slope)
 
     agg = (joined.groupBy("country", "tmri")
            .agg(*[F.sum(w * F.col("km2")).alias(f"a{n}")
@@ -217,27 +260,31 @@ def degraded56_long(asg: DataFrame, cells_lc: DataFrame, cells_lpd: DataFrame,
                     cells_wk: DataFrame, coarse: GridSpec, fine: GridSpec,
                     countries: DataFrame) -> DataFrame:
     """56-way cover × degradation × workability cross-class
-    (degraded_analysis.py:35-166). Single narrow groupBy over the fine
-    universe — the reference's triple loop is just a composite group key."""
+    (degraded_analysis.py:35-166). Single narrow groupBy over the coarse
+    universe — the reference's triple loop is just a composite group key,
+    and the ×3-finer cover raster arrives as a packed per-coarse-cell
+    histogram (`_lc_coarse_counts`: 7 cover classes × ≤9 pixels in 4-bit
+    lanes), so no explode and no fine-pixel join; each present cover class
+    contributes one row weighted count × km2/9."""
     attrs = (asg
              .join(cells_lpd.select("cell_id", "lpd"), "cell_id", "left")
              .join(cells_wk.select("cell_id", "wk_class"), "cell_id", "left")
              .withColumn("km2", km2_col(coarse, F.col("y")) / F.lit(9.0)))
-    fine9 = (attrs
-             .withColumn("dy", F.explode(F.sequence(F.lit(0), F.lit(2))))
-             .withColumn("dx", F.explode(F.sequence(F.lit(0), F.lit(2))))
-             .withColumn("fine_cell_id", cell_id_col(
-                 fine.grid_id,
-                 (F.col("y") * 3 + F.col("dy")),
-                 (F.col("x") * 3 + F.col("dx")))))
-    joined = fine9.join(
-        cells_lc.select(F.col("cell_id").alias("fine_cell_id"), "lccs"),
-        "fine_cell_id", "left")
+    lcc = _lc_coarse_counts(cells_lc, coarse, D.cover56_idx(F.col("lccs")),
+                            len(D.COVER56_ORDER))
+    joined = attrs.join(lcc, "cell_id", "left")
+    packed = F.coalesce(F.col("lu_packed"), F.lit(0).cast("long"))
+    lanes = F.array(*[_lane(packed, i) for i in range(len(D.COVER56_ORDER))])
+    cover = F.element_at(F.array(*[F.lit(c) for c in D.COVER56_ORDER]),
+                         F.col("ci") + 1)
     df = (joined
-          .withColumn("cover", D.cover56(F.col("lccs")))
           .withColumn("soil", D.workability4(F.col("wk_class")))
           .withColumn("deg", D.degradation(F.col("lpd")))
-          .filter(F.col("cover").isNotNull() & F.col("soil").isNotNull())
-          .withColumn("class", F.concat_ws(":", "cover", "soil", "deg"))
-          .withColumn("km2w", F.col("km2")))
+          .filter(F.col("soil").isNotNull())
+          .select("country", "km2", "soil", "deg",
+                  F.posexplode(lanes).alias("ci", "n"))
+          .filter(F.col("n") > 0)  # absent/NULL-cover pixels contribute 0
+          .withColumn("class", F.concat_ws(":", cover, F.col("soil"),
+                                           F.col("deg")))
+          .withColumn("km2w", F.col("km2") * F.col("n")))
     return _finish(df, countries, DEG56_CLASSES)
