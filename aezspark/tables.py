@@ -182,6 +182,110 @@ class SnapshotTable:
         paths = [os.path.join(self.data_dir, f) for f in snap["files"]]
         return self.spark.read.parquet(*paths)
 
+    def added_files(self, snapshot_id: int) -> list[str]:
+        """Data files this snapshot ADDED relative to its parent (manifest
+        set-difference — no file I/O)."""
+        snap = self.snapshot(snapshot_id)
+        parent = snap["parent_id"]
+        prev = set(self.snapshot(parent)["files"]) if parent else set()
+        return [f for f in snap["files"] if f not in prev]
+
+    def read_appends(self, after_snapshot_id: int,
+                     until_snapshot_id: int | None = None) -> DataFrame:
+        """Incremental scan (Iceberg's incremental-append read): the rows
+        appended AFTER snapshot `after_snapshot_id`, up to and including
+        `until_snapshot_id` (default: current). Planned purely from
+        manifests: the union of the files ADDED by each `append` snapshot in
+        the range. `replace` snapshots (compaction) rewrite existing rows and
+        add no logical rows, so their files are skipped — a downstream
+        incremental consumer never re-reads rows because maintenance ran.
+        An `overwrite` in the range deletes rows, which an append-only
+        changelog cannot represent: that raises ValueError (Iceberg's
+        incremental scan refuses the same way). Consuming the range requires
+        its manifests to still be retained (expire_snapshots breaks replay
+        older than the retention window, as in Iceberg)."""
+        until = (self.current_snapshot_id() if until_snapshot_id is None
+                 else until_snapshot_id)
+        chain = []
+        sid = until
+        while sid is not None and sid > after_snapshot_id:
+            snap = self.snapshot(sid)
+            chain.append(snap)
+            sid = snap["parent_id"]
+        if sid != after_snapshot_id and after_snapshot_id != 0:
+            raise ValueError(
+                f"snapshot {after_snapshot_id} is not an ancestor of {until}")
+        files = []
+        for snap in reversed(chain):
+            op = snap["operation"]
+            if op in ("overwrite",):
+                raise ValueError(
+                    f"snapshot {snap['snapshot_id']} is an overwrite: "
+                    f"append-only incremental read cannot represent deletes")
+            if op in ("append", "add_files"):
+                files.extend(self.added_files(snap["snapshot_id"]))
+            # 'replace' (compaction): rewritten bytes, zero new logical rows
+        if not files:
+            # schema-correct empty result: plan from the until-snapshot
+            return self.read(until).limit(0)
+        paths = [os.path.join(self.data_dir, f) for f in files]
+        return self.spark.read.parquet(*paths)
+
+    def compact(self, target_file_bytes: int = 128 << 20,
+                min_input_files: int = 2) -> int | None:
+        """Bin-pack small files (Iceberg `rewrite_data_files`): rewrite the
+        current snapshot's data files into ~`target_file_bytes` files and
+        commit a `replace` snapshot with IDENTICAL logical rows. A
+        streaming sink commits a few small files per micro-batch, so an
+        always-appending table degrades to O(files) scan planning and
+        tiny-row-group reads; compaction is the maintenance half of that
+        contract. Readers are never blocked: they plan from immutable
+        manifests, and the replaced files stay on disk until
+        expire_snapshots + vacuum.
+
+        Concurrency: the rewrite races with appenders under optimistic
+        concurrency. On a lost CAS the retry keeps any newly appended files
+        and replaces only the files actually rewritten (Iceberg's
+        rewrite-commit validation); if the rewritten files themselves
+        vanished from the current snapshot (concurrent overwrite or rival
+        compaction) the job raises ConcurrentCommitError and its output
+        becomes vacuum-able orphans — it can never clobber the other
+        writer's result.
+
+        At cluster scale the rewrite is per-bin (each task rewrites one
+        group of small files — no global shuffle); here the single
+        `coalesce(n)` over the manifest file list is the same narrow,
+        shuffle-free plan. Returns the new snapshot id, or None when the
+        table is already compact."""
+        snap = self.snapshot()
+        old_files = snap["files"]
+        if len(old_files) < min_input_files:
+            return None
+        paths = [os.path.join(self.data_dir, f) for f in old_files]
+        total = sum(os.path.getsize(p) for p in paths)
+        n_out = max(1, -(-total // max(1, target_file_bytes)))
+        if n_out >= len(old_files):
+            return None  # already at (or below) target granularity
+        df = self.spark.read.parquet(*paths).coalesce(int(n_out))
+        new_files = self._write_data_files(df)
+        replaced = set(old_files)
+        while True:
+            cur = self.snapshot()
+            if not replaced.issubset(cur["files"]):
+                raise ConcurrentCommitError(
+                    "compaction input files were replaced by a concurrent "
+                    "overwrite/compaction; rewritten output left as orphans "
+                    "for vacuum")
+            merged = new_files + [f for f in cur["files"]
+                                  if f not in replaced]
+            try:
+                return self._commit(
+                    merged, json.dumps(cur["schema"]), "replace",
+                    summary={"replaced_files": len(replaced),
+                             "rewritten_files": len(new_files)})
+            except ConcurrentCommitError:
+                continue  # an append won the race; re-merge and retry
+
     def orphan_files(self) -> list[str]:
         """Data files referenced by NO retained snapshot (crash debris) —
         the input to a vacuum job."""

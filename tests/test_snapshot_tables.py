@@ -171,3 +171,120 @@ def test_world_documents_reads_snapshot_table_by_default(spark, world,
     assert via_table.count() == raw.count()
     assert via_table.schema == raw.schema
     assert via_table.exceptAll(raw).count() == 0
+
+
+def test_compact_rewrites_files_same_rows(spark, tmp_path):
+    """Bin-pack compaction: identical logical rows, fewer files, a `replace`
+    snapshot; pre-compaction readers are isolated; expire+vacuum reclaims
+    the replaced small files and the table stays readable."""
+    t = SnapshotTable(spark, str(tmp_path / "t"))
+    for lo in range(0, 50, 10):                    # 5 micro-batch appends
+        t.append(_df(spark, lo, lo + 10))
+    n_files_before = len(t.snapshot()["files"])
+    assert n_files_before >= 5
+    old_reader = t.read()                          # planned pre-compaction
+    sid = t.compact()                              # 128 MB target -> 1 file
+    assert sid == t.current_snapshot_id()
+    snap = t.snapshot()
+    assert snap["operation"] == "replace"
+    assert len(snap["files"]) < n_files_before
+    rows = sorted(r.id for r in t.read().collect())
+    assert rows == list(range(50))
+    assert sorted(r.id for r in old_reader.collect()) == rows
+    # maintenance: expire everything but the compacted snapshot, vacuum now
+    t.expire_snapshots(keep_last=1)
+    removed = t.vacuum(grace_seconds=0)
+    assert len(removed) >= n_files_before - 1
+    assert sorted(r.id for r in t.read().collect()) == rows
+
+
+def test_compact_noop_when_already_compact(spark, tmp_path):
+    t = SnapshotTable(spark, str(tmp_path / "t"))
+    t.overwrite(_df(spark, 0, 10).coalesce(1))
+    assert t.compact() is None
+    assert t.snapshot()["operation"] == "overwrite"
+
+
+def test_compact_keeps_concurrent_append(spark, tmp_path, monkeypatch):
+    """An append that commits between the rewrite and the compaction commit
+    wins the CAS; compaction retries, keeping the appended file and
+    replacing only the files it actually rewrote."""
+    t = SnapshotTable(spark, str(tmp_path / "t"))
+    for lo in range(0, 50, 10):
+        t.append(_df(spark, lo, lo + 10))
+    orig = SnapshotTable._write_data_files
+    state = {"raced": False}
+
+    def race(self, df):
+        files = orig(self, df)
+        if not state["raced"]:                     # fire exactly once
+            state["raced"] = True
+            SnapshotTable(spark, self.table_dir).append(_df(spark, 100, 110))
+        return files
+
+    monkeypatch.setattr(SnapshotTable, "_write_data_files", race)
+    sid = t.compact()
+    assert sid is not None
+    snap = t.snapshot(sid)
+    assert snap["operation"] == "replace"
+    rows = sorted(r.id for r in t.read().collect())
+    assert rows == list(range(50)) + list(range(100, 110))
+    # the racing append's file survived un-rewritten
+    appended = set(t.added_files(sid - 1))
+    assert appended.issubset(set(snap["files"]))
+
+
+def test_compact_aborts_on_concurrent_overwrite(spark, tmp_path, monkeypatch):
+    """If the files being rewritten vanish (concurrent overwrite), compaction
+    must raise — never clobber the other writer's table."""
+    from aezspark.tables import ConcurrentCommitError
+
+    t = SnapshotTable(spark, str(tmp_path / "t"))
+    for lo in range(0, 30, 10):
+        t.append(_df(spark, lo, lo + 10))
+    orig = SnapshotTable._write_data_files
+    state = {"raced": False}
+
+    def race(self, df):
+        files = orig(self, df)
+        if not state["raced"]:
+            state["raced"] = True
+            SnapshotTable(spark, self.table_dir).overwrite(_df(spark, 0, 3))
+        return files
+
+    monkeypatch.setattr(SnapshotTable, "_write_data_files", race)
+    with pytest.raises(ConcurrentCommitError):
+        t.compact()
+    assert t.read().count() == 3                   # overwrite won, untouched
+    assert t.orphan_files()                        # rewrite output -> vacuum
+
+
+def test_incremental_read_appends_only(spark, tmp_path):
+    """read_appends: manifest-planned changelog of appended rows; compaction
+    (replace) contributes zero logical rows; overwrite in range refuses."""
+    t = SnapshotTable(spark, str(tmp_path / "t"))
+    s1 = t.append(_df(spark, 0, 10))
+    t.append(_df(spark, 10, 20))
+    s3 = t.append(_df(spark, 20, 30))
+    got = sorted(r.id for r in t.read_appends(s1).collect())
+    assert got == list(range(10, 30))
+    assert sorted(r.id for r in t.read_appends(0).collect()) == list(range(30))
+
+    c = t.compact()
+    assert c is not None
+    # compaction is invisible to an incremental consumer
+    got = sorted(r.id for r in t.read_appends(s1).collect())
+    assert got == list(range(10, 30))
+    assert t.read_appends(s3).count() == 0         # nothing appended since s3
+    assert t.read_appends(c).count() == 0
+
+    s5 = t.append(_df(spark, 30, 35))
+    got = sorted(r.id for r in t.read_appends(c).collect())
+    assert got == list(range(30, 35))
+    # bounded range: (s1, s3] excludes the later append
+    got = sorted(r.id for r in t.read_appends(s1, until_snapshot_id=s3).collect())
+    assert got == list(range(10, 30))
+
+    t.overwrite(_df(spark, 0, 5))
+    with pytest.raises(ValueError):
+        t.read_appends(s5).collect()

@@ -128,3 +128,44 @@ def test_stream_table_sink_replay_is_idempotent(world, tmp_path):
                     .toPandas().sort_values(["country", "aez_code"])
                     .reset_index(drop=True))
     pd.testing.assert_frame_equal(counts_after, counts_before)
+
+
+def test_downstream_incremental_consume_and_compact(world, tmp_path):
+    """A downstream pipeline tails the streaming sink's table with
+    read_appends: per-micro-batch partials are consumed exactly once, the
+    incremental union re-aggregates to the full table, and compacting the
+    table is invisible to the consumer (replace adds no logical rows)."""
+    from aezspark.tables import SnapshotTable
+
+    in_dir = str(tmp_path / "in")
+    tbl_dir = str(tmp_path / "tbl")
+    _write_drops(world, in_dir)
+
+    tl = tile_lookup_broadcast(world.spark, world.tiles())
+    st.enrich_stream_to_table(
+        st.stream_documents(world.spark, in_dir, max_files_per_trigger=1),
+        world.bidx, tl, world.fine, tbl_dir,
+        str(tmp_path / "cp")).start().awaitTermination()
+
+    tbl = SnapshotTable(world.spark, tbl_dir)
+    snaps = [s["snapshot_id"] for s in tbl.snapshots()]
+    assert len(snaps) >= 2
+    # consumer saw up to the first micro-batch; tail the rest incrementally
+    tail = tbl.read_appends(snaps[0])
+    first = tbl.read(snapshot_id=snaps[0])
+    merged = (first.unionByName(tail)
+              .groupBy("country", "aez_code")
+              .agg(F.sum("n_docs").alias("n_docs")))
+    got = (merged.toPandas().sort_values(["country", "aez_code"])
+           .reset_index(drop=True))
+    exp = (st.read_zone_counts_table(world.spark, tbl_dir).toPandas()
+           .sort_values(["country", "aez_code"]).reset_index(drop=True))
+    pd.testing.assert_frame_equal(got, exp[got.columns.tolist()],
+                                  check_dtype=False)
+
+    # maintenance compaction must not re-deliver rows to the consumer
+    c = tbl.compact()
+    assert c is not None and tbl.snapshot(c)["operation"] == "replace"
+    tail2 = tbl.read_appends(snaps[0], until_snapshot_id=snaps[-1])
+    assert tail2.count() == tail.count()
+    assert tbl.read_appends(c).count() == 0
