@@ -906,10 +906,18 @@ shingles AS (
     FROM documents, unnest(generate_series(1, greatest(len(text) - 7, 0))) AS t(i)
 )"""
 
-_SIGS_CTE = _SHINGLES_CTE + """,
+# the affine-permutation coefficient table is generated from the SAME
+# function the Spark plan uses, so the literals can never drift
+_MINHASH_VALUES = ", ".join(
+    f"({s}, {a}, {b})"
+    for s, (a, b) in enumerate(corpus.minhash_coeffs(8)))
+
+_SIGS_CTE = _SHINGLES_CTE + f""",
 sigs AS (
-    SELECT doc_id, seed, min(md5(seed || ':' || shingle)) AS sig
-    FROM shingles, unnest(generate_series(0, 7)) AS s(seed)
+    SELECT doc_id, seed,
+           min((a * (('0x' || substr(md5(shingle), 1, 15))::BIGINT % 2147483647)
+                + b) % 2147483647) AS sig
+    FROM shingles, (VALUES {_MINHASH_VALUES}) AS s(seed, a, b)
     GROUP BY doc_id, seed
 )"""
 

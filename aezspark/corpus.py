@@ -58,16 +58,51 @@ def char_shingles(docs: DataFrame, text_col: str = "text", k: int = 8,
     return out.distinct() if distinct else out
 
 
+MINHASH_P = 2147483647  # 2^31 - 1: both engines' BIGINT arithmetic is exact
+
+
+def minhash_coeffs(num_hashes: int) -> list[tuple[int, int]]:
+    """Deterministic affine coefficients (a_s, b_s) for the permutation
+    family h -> (a_s*h + b_s) mod p, shared as LITERALS by the Spark plan
+    and the DuckDB oracle (fixed Lehmer LCG, so the table is reproducible
+    from num_hashes alone). a_s is never 0 mod p (LCG state stays in
+    [1, p-1])."""
+    out, x = [], 1
+    for _ in range(num_hashes):
+        x = (x * 48271) % MINHASH_P
+        a = x
+        x = (x * 48271) % MINHASH_P
+        out.append((a, x))
+    return out
+
+
 def minhash_signatures(shingles: DataFrame, num_hashes: int = 8,
                        doc_col: str = "doc_id") -> DataFrame:
-    """MinHash over md5-hex: sig_s(doc) = min(md5(s || ':' || shingle)).
-    Hex-string min is a valid uniform-permutation proxy and is engine-portable.
-    Output: (doc_id, seed, sig)."""
-    return (shingles
-            .withColumn("seed", F.explode(F.array(*[F.lit(i) for i in range(num_hashes)])))
-            .withColumn("h", F.md5(F.concat_ws(":", F.col("seed"), F.col("shingle"))))
-            .groupBy(doc_col, "seed")
-            .agg(F.min("h").alias("sig")))
+    """MinHash via ONE digest per shingle + affine permutations:
+    h = int(md5(shingle)[:15], 16) mod p; sig_s(doc) = min_shingles
+    (a_s*h + b_s) mod p — the standard universal-hash MinHash family,
+    engine-portable (DuckDB mirrors h via ('0x'||substr(md5,1,15))::BIGINT).
+
+    Shape matters more than the digest count: all `num_hashes` mins are
+    computed in ONE groupBy(doc) as separate aggregate columns — no
+    seed-explode — so the map side emits one (doc, 8×8-byte) row per doc
+    per partition instead of 8 keyed rows of 32-char strings (the previous
+    md5-per-(seed,shingle) construction: 8× the digests, 8× the shuffle
+    keys, string min instead of BIGINT min). The long (doc_id, seed, sig)
+    output shape is restored by a narrow post-shuffle unpivot.
+    a_s*h ≤ (p-1)^2 < 2^62: exact in BIGINT on both engines."""
+    coeffs = minhash_coeffs(num_hashes)
+    h = (F.conv(F.substring(F.md5("shingle"), 1, 15), 16, 10).cast("long")
+         % F.lit(MINHASH_P))
+    wide = shingles.groupBy(doc_col).agg(
+        *[F.min((F.lit(a) * h + F.lit(b)) % F.lit(MINHASH_P)).alias(f"_s{s}")
+          for s, (a, b) in enumerate(coeffs)])
+    pairs = F.array(*[F.struct(F.lit(s).cast("int").alias("seed"),
+                               F.col(f"_s{s}").alias("sig"))
+                      for s in range(num_hashes)])
+    return (wide.select(doc_col, F.explode(pairs).alias("p"))
+            .select(doc_col, F.col("p.seed").alias("seed"),
+                    F.col("p.sig").alias("sig")))
 
 
 def lsh_buckets(signatures: DataFrame, rows_per_band: int = 2,
