@@ -335,12 +335,15 @@ def q_dedup_exact(spark, sf_dir):
 
 
 def q_minhash_signatures(spark, sf_dir):
-    sh = corpus.char_shingles(_t(spark, sf_dir, "documents"))
+    # distinct=False: min over the shingle multiset equals min over its set,
+    # so the signatures-only path skips the |shingles|-row dedup Exchange
+    # entirely (the DuckDB oracle keeps DISTINCT — values are identical)
+    sh = corpus.char_shingles(_t(spark, sf_dir, "documents"), distinct=False)
     return corpus.minhash_signatures(sh).select("doc_id", "seed", "sig")
 
 
 def q_lsh_candidate_pairs(spark, sf_dir):
-    sh = corpus.char_shingles(_t(spark, sf_dir, "documents"))
+    sh = corpus.char_shingles(_t(spark, sf_dir, "documents"), distinct=False)
     return corpus.lsh_candidate_pairs(corpus.lsh_buckets(corpus.minhash_signatures(sh)))
 
 
@@ -393,7 +396,7 @@ def q_neardup_clusters(spark, sf_dir):
     """Connected components over the LSH candidate pairs: cluster_id = min
     doc_id of the component (iterative min-label propagation; oracle is a
     recursive-CTE transitive closure)."""
-    sh = corpus.char_shingles(_t(spark, sf_dir, "documents"))
+    sh = corpus.char_shingles(_t(spark, sf_dir, "documents"), distinct=False)
     pairs = corpus.lsh_candidate_pairs(corpus.lsh_buckets(corpus.minhash_signatures(sh)))
     return corpus.neardup_clusters(pairs)
 

@@ -38,13 +38,19 @@ def char_shingles(docs: DataFrame, text_col: str = "text", k: int = 8,
     """Character k-gram shingles per doc. explode(sequence) — no Python in
     the loop.
 
-    distinct=True gives the shingle SET (required by Jaccard set algebra) and
-    is the default even for duplicate-insensitive consumers like MinHash (min
-    over a multiset equals min over its set): measured A/B, the dedup shuffle
-    PAYS for itself because it rebalances the narrow scan partitioning across
-    all cores before the 8× seed-explode + md5 work (5.0 s vs 8.5 s at sf0.1,
-    local[32]). distinct=False is only right when the input is already widely
-    and evenly partitioned."""
+    distinct=True gives the shingle SET (required by Jaccard set algebra)
+    and stays the safe default. Duplicate-insensitive consumers (MinHash:
+    min over a multiset equals min over its set; fingerprint: collect_set)
+    pass distinct=False to make the no-dedup intent explicit — with the
+    affine MinHash construction (a plain agg directly over the shingles,
+    no seed-explode between) Catalyst's redundant-aggregate elimination
+    already collapses the distinct under duplicate-agnostic aggregates,
+    so both spellings compile to the SAME single-Exchange plan
+    (verified: executedPlan identical at sf0.01). Under the OLD
+    md5-per-(seed,shingle) construction the Generate (seed-explode)
+    blocked that rewrite and the distinct was a real, measured trade;
+    that era is over. distinct=False also keeps the plan honest for
+    consumers the optimizer can't see through."""
     n = F.length(F.col(text_col)) - F.lit(k - 1)
     # guard: Spark sequence(1, 0) counts DOWN, it is not empty — emit an
     # empty array for texts shorter than k instead
@@ -492,7 +498,7 @@ def fingerprint(docs: DataFrame, text_col: str = "text", k: int = 8,
                 keep: int = 4) -> DataFrame:
     """Document fingerprint: the `keep` lexicographically-smallest k-gram
     md5s, joined — a winnowing-style sketch stable under small edits."""
-    sh = char_shingles(docs, text_col, k)
+    sh = char_shingles(docs, text_col, k, distinct=False)  # collect_set dedups
     return (sh.withColumn("h", F.md5("shingle"))
             .groupBy("doc_id")
             .agg(F.concat_ws(",", F.slice(F.sort_array(F.collect_set("h")), 1, keep))

@@ -116,7 +116,8 @@ def main():
 
         obs = Observation("lsh_guard")
         sh = corpus.char_shingles(w.documents().selectExpr(
-            "doc_id", "concat_ws(' ', transform(spans, s -> s.text)) AS text"))
+            "doc_id", "concat_ws(' ', transform(spans, s -> s.text)) AS text"),
+            distinct=False)  # signatures-only: min is multiset-insensitive
         pairs = corpus.lsh_candidate_pairs(
             corpus.lsh_buckets(corpus.minhash_signatures(sh)),
             observation=obs)
