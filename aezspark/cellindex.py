@@ -6,8 +6,14 @@ north_rule: "H3/S2-style cell index"): a quadtree over the global grid where
 resolution r has pixel size 0.5°/2^r (r=0 is the reference's 0.5° test grid,
 test_extract_country_data.py:257-258).
 
-    cell = (r << 56) | (y << 28) | x
+    cell = (r << 57) | (y << 29) | x
     y = floor((90 - lat) / px),  x = floor((lon + 180) / px),  px = 0.5 / 2^r
+
+x is the wide axis (720 columns at r=0 vs 360 rows), so it gets the wider
+field: at r=19, x < 720·2^19 < 2^29 and y < 360·2^19 < 2^28. A symmetric
+28/28 split (the original layout) silently overflowed x into the y field for
+lon ≥ 76° at r=19 — caught by hypothesis (children() collapsing to 2
+distinct ids at res 18→19); res ≤ 19 fits bits 57..61, sign bit untouched.
 
 Ops: encode, decode-to-center, parent, children, k-ring neighbors (with
 longitude wrap-around, latitude clamp). All vectorized; the Spark variants are
@@ -19,10 +25,11 @@ from __future__ import annotations
 import numpy as np
 
 BASE_DEG = 0.5
-MAX_RES = 19  # y < 360 * 2^19 < 2^28 keeps the (y,x) packing safe
-Y_SHIFT = 28
-RES_SHIFT = 56
-XY_MASK = (1 << 28) - 1
+MAX_RES = 19  # x < 720·2^19 < 2^29, y < 360·2^19 < 2^28 — packing safe
+Y_SHIFT = 29
+RES_SHIFT = 57
+X_MASK = (1 << 29) - 1
+Y_MASK = (1 << 28) - 1
 
 
 def res_px(res: int) -> float:
@@ -55,8 +62,8 @@ def decode(cell):
     """cell id → (res, y, x). Vectorized."""
     cell = np.asarray(cell, dtype=np.int64)
     res = cell >> RES_SHIFT
-    y = (cell >> Y_SHIFT) & XY_MASK
-    x = cell & XY_MASK
+    y = (cell >> Y_SHIFT) & Y_MASK
+    x = cell & X_MASK
     return res, y, x
 
 
@@ -141,7 +148,7 @@ def parent_col(cell_col, cell_res: int, parent_res: int):
     from pyspark.sql import functions as F
 
     shift = cell_res - parent_res
-    y = F.shiftright(cell_col, Y_SHIFT).bitwiseAND(F.lit(XY_MASK))
-    x = cell_col.bitwiseAND(F.lit(XY_MASK))
+    y = F.shiftright(cell_col, Y_SHIFT).bitwiseAND(F.lit(Y_MASK))
+    x = cell_col.bitwiseAND(F.lit(X_MASK))
     return (F.lit(parent_res << RES_SHIFT).cast("long")
             + F.shiftleft(F.shiftright(y, shift), Y_SHIFT) + F.shiftright(x, shift))

@@ -47,6 +47,24 @@ def test_parent_matches_direct_encode(lat, lon, res, parent_res):
     assert ci.parent(cell, parent_res) == ci.encode(lat, lon, parent_res)
 
 
+def test_max_res_x_fits_its_field():
+    """Regression pin (hypothesis-found): lat=0, lon=76, res=18 — at res 19
+    the child x = 2^28 overflowed the old symmetric 28/28 (y, x) packing into
+    the y field, collapsing the 4 children to 2 distinct ids. The layout now
+    gives x (the 720-column axis) 29 bits."""
+    kids = ci.children(int(ci.encode(0.0, 76.0, 18)))
+    assert len(set(kids.tolist())) == 4
+    # the widest legal (y, x) must fit their fields, and an id built from
+    # them must decode back intact at MAX_RES
+    assert ci.nx(ci.MAX_RES) - 1 <= ci.X_MASK
+    assert ci.ny(ci.MAX_RES) - 1 <= ci.Y_MASK
+    ymax, xmax = ci.ny(ci.MAX_RES) - 1, ci.nx(ci.MAX_RES) - 1
+    cell = (ci.MAX_RES << ci.RES_SHIFT) | (ymax << ci.Y_SHIFT) | xmax
+    r, y, x = ci.decode(cell)
+    assert (int(r), int(y), int(x)) == (ci.MAX_RES, ymax, xmax)
+    assert cell > 0  # sign bit untouched
+
+
 @given(lats, lons, st.integers(min_value=0, max_value=ci.MAX_RES - 1))
 def test_children_partition_parent(lat, lon, res):
     cell = int(ci.encode(lat, lon, res))
