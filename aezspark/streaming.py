@@ -85,7 +85,11 @@ def enrich_stream_to_table(docs_stream: DataFrame, bidx, tile_lookup, fine,
     def process(batch_df: DataFrame, batch_id: int):
         if batch_df.isEmpty():
             return
-        tbl = SnapshotTable(batch_df.sparkSession, table_dir)
+        # stat_cols: each micro-batch file carries country min/max in the
+        # manifest, so a downstream read(where={'country': ...}) prunes
+        # whole batch files without opening them (tables.py scan planning)
+        tbl = SnapshotTable(batch_df.sparkSession, table_dir,
+                            stat_cols=("country",))
         done = {s["summary"].get("stream_batch_id") for s in tbl.snapshots()}
         if batch_id in done:
             return  # replayed batch: already committed, skip (idempotent)

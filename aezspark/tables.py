@@ -49,9 +49,20 @@ class ConcurrentCommitError(RuntimeError):
 
 
 class SnapshotTable:
-    def __init__(self, spark: SparkSession, table_dir: str):
+    def __init__(self, spark: SparkSession, table_dir: str,
+                 stat_cols: tuple[str, ...] | None = None):
+        """`stat_cols`: columns whose per-FILE min/max are recorded in the
+        manifest at commit time (Iceberg's lower_bounds/upper_bounds) — read
+        from the parquet footers the writer just produced, no data scan.
+        `read(where=...)` then prunes whole files from the plan before Spark
+        ever opens them: at 100 TB that is the difference between a range
+        query touching 3 files and touching 30,000 (row-group min/max
+        pruning inside Spark only helps AFTER a file is opened; an object
+        store charges per GET). Write-side opt-in; pruning on read needs
+        only the manifest."""
         self.spark = spark
         self.table_dir = table_dir
+        self.stat_cols = tuple(stat_cols) if stat_cols else ()
         self.data_dir = os.path.join(table_dir, "data")
         self.meta_dir = os.path.join(table_dir, "metadata")
         os.makedirs(self.data_dir, exist_ok=True)
@@ -101,8 +112,41 @@ class SnapshotTable:
         shutil.rmtree(staging)
         return files
 
+    # ---- manifest column stats (Iceberg lower_bounds / upper_bounds) ----
+
+    def _new_file_stats(self, files: list[str],
+                        external: bool = False) -> dict:
+        """Per-file min/max of `stat_cols`, read from the parquet FOOTERS of
+        freshly written files (metadata only — no data scan; the writer just
+        produced these bytes so the footers are page-cache hot). Returns
+        {filename: {col: [min, max] | None}}; None marks a column unprunable
+        for that file (missing/unsupported stats) — pruning treats it as
+        'may match'."""
+        if not self.stat_cols:
+            return {}
+        out = {}
+        for f in files:
+            path = f if external else os.path.join(self.data_dir, f)
+            out[f] = _footer_minmax(path, self.stat_cols)
+        return out
+
+    def _merged_stats(self, base_snap: dict | None, files: list[str],
+                      new_stats: dict) -> dict:
+        """Stats for a manifest listing `files`: freshly computed entries for
+        new files, carried over from the parent manifest for retained ones
+        (stats are per immutable file, so carry-over is exact)."""
+        prev = (base_snap or {}).get("stats", {})
+        merged = {}
+        for f in files:
+            if f in new_stats:
+                merged[f] = new_stats[f]
+            elif f in prev:
+                merged[f] = prev[f]
+        return merged
+
     def _commit(self, files: list[str], schema_json: str, operation: str,
-                summary: dict | None = None) -> int:
+                summary: dict | None = None,
+                stats: dict | None = None) -> int:
         """Optimistic-concurrency commit: the snapshot manifest is written to
         a tmp file and published with an atomic os.link create-if-absent CAS,
         so when two writers race to sid = parent+1 exactly one
@@ -123,6 +167,8 @@ class SnapshotTable:
             "schema": json.loads(schema_json),
             "summary": {"n_files": len(files), **(summary or {})},
         }
+        if stats:
+            snap["stats"] = stats
         snap_path = os.path.join(self.meta_dir, f"snap-{sid}.json")
         # Write the FULL manifest to a private tmp file first, then publish it
         # with os.link — an atomic create-if-absent CAS. Readers can therefore
@@ -155,7 +201,8 @@ class SnapshotTable:
     def overwrite(self, df: DataFrame) -> int:
         """Replace the table contents in one new snapshot."""
         files = self._write_data_files(df)
-        return self._commit(files, df.schema.json(), "overwrite")
+        return self._commit(files, df.schema.json(), "overwrite",
+                            stats=self._new_file_stats(files))
 
     def append(self, df: DataFrame, summary: dict | None = None) -> int:
         """Append: new snapshot = parent's files + the new files. Data files
@@ -165,22 +212,68 @@ class SnapshotTable:
         for replay idempotence)."""
         new_files = self._write_data_files(df)
         try:
-            prev = self.snapshot()["files"]
+            prev_snap = self.snapshot()
+            prev = prev_snap["files"]
         except FileNotFoundError:
-            prev = []
-        return self._commit(prev + new_files, df.schema.json(), "append",
-                            summary=summary)
+            prev_snap, prev = None, []
+        all_files = prev + new_files
+        return self._commit(all_files, df.schema.json(), "append",
+                            summary=summary,
+                            stats=self._merged_stats(
+                                prev_snap, all_files,
+                                self._new_file_stats(new_files)))
 
     # ---- read path ----
 
-    def read(self, snapshot_id: int | None = None) -> DataFrame:
+    def read(self, snapshot_id: int | None = None,
+             where: dict | None = None) -> DataFrame:
         """Plan the scan from the snapshot's manifest (never by listing the
-        directory); pass snapshot_id for time travel."""
+        directory); pass snapshot_id for time travel.
+
+        `where` = {col: (lo, hi)} (inclusive; None = unbounded) prunes whole
+        files from the plan via the manifest's per-file min/max BEFORE Spark
+        opens anything — Iceberg's scan planning. The same range is also
+        applied as a Spark filter, so the result is exact whether or not a
+        file could be pruned (missing stats ⇒ the file is kept, never
+        wrongly skipped). SQL BETWEEN semantics: NULLs never match."""
         snap = self.snapshot(snapshot_id)
         if not snap["files"]:
             raise ValueError("empty snapshot")
-        paths = [os.path.join(self.data_dir, f) for f in snap["files"]]
-        return self.spark.read.parquet(*paths)
+        files = self.planned_files(where, snapshot_id) if where else snap["files"]
+        if not files:
+            # every file pruned: schema-correct empty plan (one file for
+            # schema inference, all rows filtered)
+            files = snap["files"][:1]
+        paths = [os.path.join(self.data_dir, f) for f in files]
+        df = self.spark.read.parquet(*paths)
+        if where:
+            from pyspark.sql import functions as F
+
+            for col, (lo, hi) in where.items():
+                if lo is not None:
+                    df = df.filter(F.col(col) >= F.lit(lo))
+                if hi is not None:
+                    df = df.filter(F.col(col) <= F.lit(hi))
+                if lo is None and hi is None:
+                    df = df.filter(F.col(col).isNotNull())
+        return df
+
+    def planned_files(self, where: dict | None = None,
+                      snapshot_id: int | None = None) -> list[str]:
+        """The manifest file list after min/max pruning — what `read(where=)`
+        will actually open. Exposed for tests and scan telemetry (no silent
+        caps: callers can log planned/total)."""
+        snap = self.snapshot(snapshot_id)
+        files = snap["files"]
+        if not where:
+            return list(files)
+        stats = snap.get("stats", {})
+        kept = []
+        for f in files:
+            fstats = stats.get(f)
+            if _file_may_match(fstats, where):
+                kept.append(f)
+        return kept
 
     def added_files(self, snapshot_id: int) -> list[str]:
         """Data files this snapshot ADDED relative to its parent (manifest
@@ -282,7 +375,9 @@ class SnapshotTable:
                 return self._commit(
                     merged, json.dumps(cur["schema"]), "replace",
                     summary={"replaced_files": len(replaced),
-                             "rewritten_files": len(new_files)})
+                             "rewritten_files": len(new_files)},
+                    stats=self._merged_stats(
+                        cur, merged, self._new_file_stats(new_files)))
             except ConcurrentCommitError:
                 continue  # an append won the race; re-merge and retry
 
@@ -325,6 +420,66 @@ class SnapshotTable:
                 continue  # another vacuum raced us — already gone
             removed.append(f)
         return removed
+
+
+def _footer_minmax(path: str, cols: tuple[str, ...]) -> dict:
+    """{col: [min, max] | None} over every row group of one parquet file,
+    from footer metadata only. A column is None (unprunable) when any row
+    group lacks min/max statistics or the values don't round-trip JSON
+    (bytes/temporal stats are skipped rather than approximated — pruning
+    must never be lossy)."""
+    import pyarrow.parquet as pq
+
+    md = pq.ParquetFile(path).metadata
+    agg: dict[str, list | None] = {c: None for c in cols}
+    seen: dict[str, bool] = {c: False for c in cols}
+    for rg in range(md.num_row_groups):
+        g = md.row_group(rg)
+        for ci in range(g.num_columns):
+            c = g.column(ci)
+            name = c.path_in_schema
+            if name not in agg:
+                continue
+            st = c.statistics
+            if (st is None or not st.has_min_max
+                    or not _json_safe(st.min) or not _json_safe(st.max)):
+                agg[name] = None
+                seen[name] = True  # poisoned: stays None
+                continue
+            if seen[name] and agg[name] is None:
+                continue  # already poisoned by an earlier row group
+            if agg[name] is None:
+                agg[name] = [st.min, st.max]
+            else:
+                agg[name][0] = min(agg[name][0], st.min)
+                agg[name][1] = max(agg[name][1], st.max)
+            seen[name] = True
+    return agg
+
+
+def _json_safe(v) -> bool:
+    return isinstance(v, (int, float, str, bool))
+
+
+def _file_may_match(fstats: dict | None, where: dict) -> bool:
+    """Conservative overlap test: prune a file only when its recorded
+    [min, max] provably misses the queried range; keep it on any missing or
+    type-incompatible stat."""
+    if not fstats:
+        return True
+    for col, (lo, hi) in where.items():
+        s = fstats.get(col)
+        if not s:
+            continue
+        mn, mx = s
+        try:
+            if hi is not None and mn > hi:
+                return False
+            if lo is not None and mx < lo:
+                return False
+        except TypeError:
+            continue  # incomparable types: keep (never wrongly skip)
+    return True
 
 
 def source_fingerprint(path: str) -> str:

@@ -288,3 +288,68 @@ def test_incremental_read_appends_only(spark, tmp_path):
     t.overwrite(_df(spark, 0, 5))
     with pytest.raises(ValueError):
         t.read_appends(s5).collect()
+
+
+def _kdf(spark, lo, hi):
+    return (spark.range(lo, hi)
+            .selectExpr("id AS k", "id * 2 AS v").coalesce(1))
+
+
+def test_manifest_stats_prune_files(spark, tmp_path):
+    """Iceberg-style scan planning: per-file min/max recorded at commit lets
+    a range read open ONE of three files; results stay exact (the range is
+    also a Spark filter) and an all-miss range returns schema-correct empty."""
+    t = SnapshotTable(spark, str(tmp_path / "t"), stat_cols=("k",))
+    t.append(_kdf(spark, 0, 10))
+    t.append(_kdf(spark, 10, 20))
+    t.append(_kdf(spark, 20, 30))
+    assert len(t.snapshot()["files"]) == 3
+    planned = t.planned_files(where={"k": (12, 15)})
+    assert len(planned) == 1
+    assert t.snapshot()["stats"][planned[0]]["k"] == [10, 19]
+    got = t.read(where={"k": (12, 15)})
+    assert sorted(r.k for r in got.collect()) == list(range(12, 16))
+    full = t.read().filter("k BETWEEN 12 AND 15")
+    assert (sorted((r.k, r.v) for r in got.collect())
+            == sorted((r.k, r.v) for r in full.collect()))
+    assert t.planned_files(where={"k": (100, 200)}) == []
+    empty = t.read(where={"k": (100, 200)})
+    assert empty.count() == 0
+    assert empty.columns == ["k", "v"]
+    # half-open ranges
+    assert len(t.planned_files(where={"k": (20, None)})) == 1
+    assert len(t.planned_files(where={"k": (None, 9)})) == 1
+
+
+def test_stats_survive_compaction_and_time_travel(spark, tmp_path):
+    """compact() recomputes stats for the rewritten file, and the pre-compact
+    snapshot's stats remain readable via time travel."""
+    t = SnapshotTable(spark, str(tmp_path / "t"), stat_cols=("k",))
+    for lo in range(0, 40, 10):
+        t.append(_kdf(spark, lo, lo + 10))
+    pre = t.current_snapshot_id()
+    assert len(t.planned_files(where={"k": (5, 6)}, snapshot_id=pre)) == 1
+    sid = t.compact(target_file_bytes=1 << 40)  # bin-packs to one file
+    assert sid is not None
+    files = t.snapshot()["files"]
+    assert len(files) == 1
+    assert t.snapshot()["stats"][files[0]]["k"] == [0, 39]
+    assert t.read(where={"k": (5, 6)}).count() == 2
+    # time travel still prunes against the OLD manifest's stats
+    assert len(t.planned_files(where={"k": (5, 6)}, snapshot_id=pre)) == 1
+
+
+def test_pruning_safe_without_stats(spark, tmp_path):
+    """A writer that recorded no stats (or a column outside stat_cols) must
+    never cause wrong skips: planning keeps every file, the filter is exact."""
+    t = SnapshotTable(spark, str(tmp_path / "t"))  # no stat_cols
+    t.append(_kdf(spark, 0, 10))
+    t.append(_kdf(spark, 10, 20))
+    assert t.planned_files(where={"k": (3, 4)}) == t.snapshot()["files"]
+    assert t.read(where={"k": (3, 4)}).count() == 2
+    # stats on k only: a where over v falls back to filter-only
+    t2 = SnapshotTable(spark, str(tmp_path / "t2"), stat_cols=("k",))
+    t2.append(_kdf(spark, 0, 10))
+    t2.append(_kdf(spark, 10, 20))
+    assert t2.planned_files(where={"v": (0, 2)}) == t2.snapshot()["files"]
+    assert t2.read(where={"v": (0, 2)}).count() == 2
