@@ -328,6 +328,14 @@ def _prev_commit_control(head_inproc: dict) -> dict | None:
     # runs first. A wall budget bounds the control's cost — complete pairs
     # only, so truncation never leaves a one-sided comparison.
     t0 = time.monotonic()
+    # one DISCARDED warm-up subprocess before any measured pair: the first
+    # fresh JVM of a window pays cold page cache (parquet, spark jars, bench
+    # corpus) — measured 1.7–4.6× on the FIRST sample of both sides even
+    # with order alternation (BENCH/BASELINE.md round-5 control), which is
+    # exactly the spread the min-of-K estimator then has to absorb. Warming
+    # the caches once, outside the measurement, shrinks the disclosed noise
+    # band instead of papering over it. Counts against the wall budget.
+    _run_bench_subprocess(repo, queries[:1])
     for i in range(samples):
         if i > 0 and time.monotonic() - t0 > budget_s:
             truncated = True
@@ -363,10 +371,12 @@ def _prev_commit_control(head_inproc: dict) -> dict | None:
     tot_h = sum(v["head_s"] for v in per_query.values())
     # explicit A/A pair ratio: 2nd head subprocess vs 1st (identical code,
     # same window, same estimator inputs) — deviation from 1.0 is pure noise
-    aa_pairs = [(r0["queries"][q], r1["queries"][q])
-                for q in queries
-                for r0, r1 in [head_runs[:2]] if len(head_runs) >= 2
-                if q in r0.get("queries", {}) and q in r1.get("queries", {})]
+    aa_pairs = []
+    if len(head_runs) >= 2:  # guard BEFORE unpacking: a budget-truncated
+        r0, r1 = head_runs[0], head_runs[1]  # single-pair run has no A/A
+        aa_pairs = [(r0["queries"][q], r1["queries"][q]) for q in queries
+                    if q in r0.get("queries", {})
+                    and q in r1.get("queries", {})]
     aa_ratio = (round(sum(b for _, b in aa_pairs)
                       / sum(a for a, _ in aa_pairs), 3)
                 if aa_pairs and sum(a for a, _ in aa_pairs) else None)
@@ -462,7 +472,14 @@ def main():
     # same-window prev-commit control: only on full (non-subset) runs — the
     # scaling harness and the control's own subprocesses set BENCH_ONLY
     if not only and os.environ.get("AEZSPARK_PREV_CONTROL", "1") != "0":
-        result["extras"]["prev_commit_control"] = _prev_commit_control(queries)
+        try:
+            result["extras"]["prev_commit_control"] = \
+                _prev_commit_control(queries)
+        except Exception as e:  # the control must NEVER break the bench —
+            # the measured numbers above are already in hand
+            result["extras"]["prev_commit_control"] = {
+                "note": f"control crashed ({type(e).__name__}: {e}); "
+                        f"bench numbers unaffected"}
     print(json.dumps(result))
 
 

@@ -92,10 +92,13 @@ def test_control_report_has_aa_calibration(monkeypatch):
         "head": [{"queries": {"q1": 9.0, "q2": 4.4}},
                  {"queries": {"q1": 13.5, "q2": 4.0}}],
     }
-    calls = {"i": {"prev": 0, "head": 0}}
+    calls = {"i": {"prev": 0, "head": 0}, "warmups": 0}
 
     def fake_run(workdir, queries):
         side = "prev" if workdir == "/fake/prev" else "head"
+        if len(queries) == 1:  # the discarded cache warm-up run
+            calls["warmups"] += 1
+            return {"queries": {}}
         r = fake_runs[side][calls["i"][side]]
         calls["i"][side] += 1
         return r
@@ -115,3 +118,32 @@ def test_control_report_has_aa_calibration(monkeypatch):
     # noise band = max same-code spread = head q1 13.5/9.0 = 1.5
     assert rep["aa_noise_band"] == 1.5
     assert "noise" in rep["note"]
+    # exactly one discarded warm-up ran before the measured pairs
+    assert calls["warmups"] == 1
+
+
+def test_control_single_pair_has_no_aa_but_does_not_crash(monkeypatch):
+    """Budget truncation (or AEZSPARK_CONTROL_SAMPLES=1) leaves one pair:
+    the A/A calibration is then undefined — the control must report the
+    pair with aa fields None, not crash the whole bench (regression: the
+    old comprehension unpacked head_runs[:2] before its length guard)."""
+    import bench
+
+    calls = {"n": 0}
+
+    def fake_run(workdir, queries):
+        calls["n"] += 1
+        if calls["n"] == 1:
+            return {"queries": {}}  # the discarded warm-up (first call)
+        return {"queries": {"q1": 10.0 if workdir == "/fake/prev" else 9.0}}
+
+    monkeypatch.setattr(bench, "_prev_round_commit", lambda: "b" * 40)
+    monkeypatch.setattr(bench, "_ensure_prev_worktree", lambda sha: "/fake/prev")
+    monkeypatch.setattr(bench, "_run_bench_subprocess", fake_run)
+    monkeypatch.setenv("AEZSPARK_CONTROL_QUERIES", "q1")
+    monkeypatch.setenv("AEZSPARK_CONTROL_SAMPLES", "1")
+
+    rep = bench._prev_commit_control({"q1": 8.0})
+    assert rep["queries"]["q1"]["ratio"] == 0.9
+    assert rep["aa_pair_ratio"] is None
+    assert rep["aa_noise_band"] is None
