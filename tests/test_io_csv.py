@@ -3,6 +3,8 @@
 
 import os
 
+from pyspark.sql import functions as F
+
 from aezspark import io as io_mod
 from aezspark import decoders as D
 from aezspark.regions import REGIONS
@@ -65,3 +67,16 @@ def test_tiles_partitioned_sink(world, tmp_path):
     back = world.spark.read.parquet(out)
     assert back.count() == 5000
     assert "tile_id" in back.columns
+    # clustered layout: repartition(tile_id) puts each tile in exactly one
+    # task, so the sink emits exactly ONE parquet file per tile directory —
+    # never the (tasks × tiles) small-files explosion of a bare partitionBy
+    import os
+
+    n_tiles = back.select("tile_id").distinct().count()
+    n_files = sum(1 for dp, _, fs in os.walk(out)
+                  for f in fs if f.endswith(".parquet"))
+    assert n_files == n_tiles
+    # rows arrive cell-sorted within each file (row-group min/max pruning)
+    one = back.filter(F.col("tile_id") == back.first()["tile_id"])
+    cells = [r.cell_id for r in one.select("cell_id").collect()]
+    assert cells == sorted(cells)
