@@ -551,6 +551,12 @@ def write_ivf_index(embeddings: DataFrame, centroids: list[list[float]],
     only its nprobe partitions (PartitionFilters in the scan, verified by
     tests/test_ann_index.py and PLANS.md)."""
     (ivf_assign(embeddings, centroids, keep_embedding=True)
+     # cluster onto the partition column first: bare partitionBy emits one
+     # file per (task × centroid) — measured 32 files for 8 cells at sf0.01;
+     # a probe should read ONE file per probed cell, not a shard per writer
+     # task. At corpus scales where one cell exceeds a good file size,
+     # repartition(n, col, salt) bounds file size instead.
+     .repartition("centroid_id")
      .write.mode("overwrite").partitionBy("centroid_id").parquet(path))
 
 
@@ -564,6 +570,8 @@ def write_lsh_index(embeddings: DataFrame, planes: list[list[float]],
         bucket = bucket + F.when(_dot(F.col("embedding"), plane) > 0,
                                  F.lit(1 << p)).otherwise(F.lit(0)).cast("long")
     (embeddings.select("vec_id", "embedding", bucket.alias("bucket"))
+     .repartition("bucket")  # one file per bucket, not per (task × bucket):
+     # the unclustered write measured 400 files for 256 buckets at sf0.01
      .write.mode("overwrite").partitionBy("bucket").parquet(path))
 
 
