@@ -209,7 +209,19 @@ class SnapshotTable:
         are written BEFORE the commit — a crash in between leaves only
         unreferenced orphans, never a torn table. `summary` entries are
         recorded in the snapshot manifest (e.g. a streaming sink's batch_id
-        for replay idempotence)."""
+        for replay idempotence).
+
+        Schema evolution (Iceberg add-column): an append may ADD nullable
+        columns — the manifest records the widened schema and reads plan
+        with it, so older files' missing columns surface as NULL. Anything
+        else (type change, dropped column, new non-nullable column) is
+        REFUSED loudly: without table-schema-planned reads Spark would
+        infer from one arbitrary file's footer and silently drop or corrupt
+        the divergent columns."""
+        try:
+            _check_schema_evolution(self.snapshot().get("schema"), df.schema)
+        except FileNotFoundError:
+            pass  # first commit: any schema
         new_files = self._write_data_files(df)
         try:
             prev_snap = self.snapshot()
@@ -245,7 +257,7 @@ class SnapshotTable:
             # schema inference, all rows filtered)
             files = snap["files"][:1]
         paths = [os.path.join(self.data_dir, f) for f in files]
-        df = self.spark.read.parquet(*paths)
+        df = self._read_with_table_schema(snap, paths)
         if where:
             from pyspark.sql import functions as F
 
@@ -257,6 +269,21 @@ class SnapshotTable:
                 if lo is None and hi is None:
                     df = df.filter(F.col(col).isNotNull())
         return df
+
+    def _read_with_table_schema(self, snap: dict, paths: list[str]) -> DataFrame:
+        """Plan the scan with the SNAPSHOT's recorded schema (Iceberg
+        semantics): after an add-column evolution, older files' missing
+        columns read as NULL instead of the reader inferring from one
+        arbitrary file's footer. Imported (`add_files`) tables record only
+        an informational arrow schema — those fall back to inference (their
+        files are immutable and homogeneous by construction)."""
+        schema = snap.get("schema")
+        if isinstance(schema, dict) and schema.get("fields"):
+            from pyspark.sql.types import StructType
+
+            return (self.spark.read.schema(StructType.fromJson(schema))
+                    .parquet(*paths))
+        return self.spark.read.parquet(*paths)
 
     def planned_files(self, where: dict | None = None,
                       snapshot_id: int | None = None) -> list[str]:
@@ -322,7 +349,9 @@ class SnapshotTable:
             # schema-correct empty result: plan from the until-snapshot
             return self.read(until).limit(0)
         paths = [os.path.join(self.data_dir, f) for f in files]
-        return self.spark.read.parquet(*paths)
+        # plan with the until-snapshot's schema: appends from before an
+        # add-column evolution surface the added columns as NULL
+        return self._read_with_table_schema(self.snapshot(until), paths)
 
     def compact(self, target_file_bytes: int = 128 << 20,
                 min_input_files: int = 2) -> int | None:
@@ -359,7 +388,7 @@ class SnapshotTable:
         n_out = max(1, -(-total // max(1, target_file_bytes)))
         if n_out >= len(old_files):
             return None  # already at (or below) target granularity
-        df = self.spark.read.parquet(*paths).coalesce(int(n_out))
+        df = self._read_with_table_schema(snap, paths).coalesce(int(n_out))
         new_files = self._write_data_files(df)
         replaced = set(old_files)
         while True:
@@ -420,6 +449,38 @@ class SnapshotTable:
                 continue  # another vacuum raced us — already gone
             removed.append(f)
         return removed
+
+
+class SchemaEvolutionError(ValueError):
+    """An append's schema diverges from the table's in a way add-column
+    evolution cannot represent (type change, dropped column, or a new
+    NON-nullable column that older files cannot satisfy)."""
+
+
+def _check_schema_evolution(table_schema: dict | None, df_schema) -> None:
+    """Allow: identical schema, or a superset that only ADDS nullable
+    columns. Refuse everything else loudly (see SchemaEvolutionError)."""
+    if not (isinstance(table_schema, dict) and table_schema.get("fields")):
+        return  # no Spark schema recorded (imported table): nothing to check
+    old = {f["name"]: f["type"] for f in table_schema["fields"]}
+    new_fields = {f.name: f for f in df_schema.fields}
+    missing = [n for n in old if n not in new_fields]
+    if missing:
+        raise SchemaEvolutionError(
+            f"append drops column(s) {missing}: an append-only table cannot "
+            f"represent column removal (overwrite to restate the schema)")
+    for name, old_type in old.items():
+        new_type = new_fields[name].jsonValue()["type"]
+        if new_type != old_type:
+            raise SchemaEvolutionError(
+                f"append changes column '{name}' type {old_type!r} -> "
+                f"{new_type!r}: type evolution is not supported — older "
+                f"files would fail or corrupt under the new read schema")
+    for name, f in new_fields.items():
+        if name not in old and not f.nullable:
+            raise SchemaEvolutionError(
+                f"appended new column '{name}' is non-nullable, but rows in "
+                f"older files have no value for it — add it nullable")
 
 
 def _footer_minmax(path: str, cols: tuple[str, ...]) -> dict:

@@ -353,3 +353,45 @@ def test_pruning_safe_without_stats(spark, tmp_path):
     t2.append(_kdf(spark, 10, 20))
     assert t2.planned_files(where={"v": (0, 2)}) == t2.snapshot()["files"]
     assert t2.read(where={"v": (0, 2)}).count() == 2
+
+
+def test_schema_evolution_add_nullable_column(spark, tmp_path):
+    """Iceberg add-column: an append may add nullable columns; reads plan
+    with the TABLE schema so older files surface the new column as NULL
+    (instead of Spark inferring from one arbitrary footer and silently
+    dropping it)."""
+    t = SnapshotTable(spark, str(tmp_path / "t"))
+    s1 = t.append(_df(spark, 0, 10))                       # (id, v)
+    t.append(_df(spark, 10, 20).withColumn(
+        "lang", F.when(F.col("id") % 2 == 0, F.lit("en"))))  # + lang (nullable)
+    cur = t.read()
+    assert set(cur.columns) == {"id", "v", "lang"}
+    assert cur.count() == 20
+    # all 10 pre-evolution rows read as NULL lang; 5 of the new 10 are 'en'
+    assert cur.filter(F.col("lang").isNull()).count() == 15
+    # incremental read of the OLD append under the new schema: lang is NULL
+    inc = t.read_appends(0, until_snapshot_id=s1)
+    assert "lang" not in inc.columns or inc.count() == 10  # planned from s1
+    # time travel keeps the old schema
+    assert set(t.read(snapshot_id=s1).columns) == {"id", "v"}
+    # compaction carries the evolved schema through the rewrite
+    assert t.compact(target_file_bytes=1 << 40) is not None
+    back = t.read()
+    assert set(back.columns) == {"id", "v", "lang"}
+    assert back.filter(F.col("lang").isNull()).count() == 15
+
+
+def test_schema_evolution_refuses_incompatible(spark, tmp_path):
+    from aezspark.tables import SchemaEvolutionError
+
+    t = SnapshotTable(spark, str(tmp_path / "t"))
+    t.append(_df(spark, 0, 10))  # (id bigint, v bigint)
+    with pytest.raises(SchemaEvolutionError):   # type change
+        t.append(_df(spark, 10, 20).withColumn("v", F.col("v").cast("int")))
+    with pytest.raises(SchemaEvolutionError):   # dropped column
+        t.append(_df(spark, 10, 20).drop("v"))
+    with pytest.raises(SchemaEvolutionError):   # new NON-nullable column
+        t.append(_df(spark, 10, 20).withColumn("flag", F.lit(1)))
+    # overwrite restates the schema freely
+    t.overwrite(_df(spark, 0, 5).drop("v"))
+    assert t.read().columns == ["id"]
