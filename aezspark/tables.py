@@ -519,7 +519,12 @@ def _footer_minmax(path: str, cols: tuple[str, ...]) -> dict:
 
 
 def _json_safe(v) -> bool:
-    return isinstance(v, (int, float, str, bool))
+    import math
+
+    if isinstance(v, float):
+        return math.isfinite(v)  # NaN/Inf: not strict JSON, and NaN
+        # comparisons are always-False — mark unprunable instead
+    return isinstance(v, (int, str, bool))
 
 
 def _file_may_match(fstats: dict | None, where: dict) -> bool:
