@@ -70,3 +70,27 @@ def test_one_action_per_round_no_separate_count(spark, monkeypatch):
     assert len(rounds) == 2
     labels = {r.doc_id: r.cluster_id for r in got.collect()}
     assert labels == {"f": "f", "g": "f", "h": "f"}
+
+
+def test_neardup_canonical_keeps_best_per_cluster(spark):
+    """Retention: exactly one keep per cluster; winner = most tokens, then
+    most chars, then min doc_id — integer-only deterministic ordering."""
+    from aezspark import corpus
+
+    docs = spark.createDataFrame(
+        [("a", "the cat sat on the mat"),        # 6 tokens — cluster 'a' winner
+         ("b", "the cat sat on mat"),            # 5 tokens
+         ("c", "the cat sat"),                   # 3 tokens
+         ("x", "one two three"),                 # tie with y on tokens/chars
+         ("y", "one two threa")],                # -> min doc_id 'x' wins
+        "doc_id STRING, text STRING")
+    clusters = spark.createDataFrame(
+        [("a", "a"), ("b", "a"), ("c", "a"), ("x", "x"), ("y", "x")],
+        "doc_id STRING, cluster_id STRING")
+    got = {r.doc_id: (r.cluster_id, r.keep)
+           for r in corpus.neardup_canonical(clusters, docs).collect()}
+    assert got == {"a": ("a", True), "b": ("a", False), "c": ("a", False),
+                   "x": ("x", True), "y": ("x", False)}
+    # exactly one keep per cluster, drop list is everything else
+    kept = [d for d, (_, k) in got.items() if k]
+    assert sorted(kept) == ["a", "x"]
