@@ -104,12 +104,19 @@ def enrich_stream_to_table(docs_stream: DataFrame, bidx, tile_lookup, fine,
             .trigger(availableNow=True))
 
 
-def read_zone_counts_table(spark: SparkSession, table_dir: str) -> DataFrame:
+def read_zone_counts_table(spark: SparkSession, table_dir: str,
+                           country: str | None = None) -> DataFrame:
     """Merged view over the snapshot-table stream sink (manifest-planned
-    read of the current snapshot; same roll-up as read_zone_counts)."""
+    read of the current snapshot; same roll-up as read_zone_counts).
+
+    `country` routes through the manifest's per-file min/max stats
+    (`read(where=...)`): micro-batch files whose country range provably
+    misses are never opened — the point of the sink's stat_cols."""
     from .tables import SnapshotTable
 
-    df = SnapshotTable(spark, table_dir).read()
+    tbl = SnapshotTable(spark, table_dir)
+    where = {"country": (country, country)} if country is not None else None
+    df = tbl.read(where=where)
     return (df.groupBy("country", "aez_code")
             .agg(F.sum("n_docs").alias("n_docs")))
 

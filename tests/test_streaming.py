@@ -169,3 +169,29 @@ def test_downstream_incremental_consume_and_compact(world, tmp_path):
     tail2 = tbl.read_appends(snaps[0], until_snapshot_id=snaps[-1])
     assert tail2.count() == tail.count()
     assert tbl.read_appends(c).count() == 0
+
+
+def test_zone_counts_table_country_read_prunes_and_matches(world, tmp_path):
+    """The sink records country min/max per micro-batch file; a country-
+    filtered read must (a) equal the filtered full read and (b) prune files
+    whose recorded country range provably misses. The strict pruning pin
+    uses two deterministic single-country appends (string-typed stats)."""
+    from aezspark.tables import SnapshotTable
+
+    tbl_dir = str(tmp_path / "tbl")
+    t = SnapshotTable(world.spark, tbl_dir, stat_cols=("country",))
+    mk = lambda c, n: world.spark.createDataFrame(
+        [(c, a, n + a) for a in (1, 2)],
+        "country STRING, aez_code INT, n_docs LONG").coalesce(1)
+    t.append(mk("Alphaland", 10))
+    t.append(mk("Betaland", 20))
+    assert len(t.snapshot()["files"]) == 2
+    # string min/max: the Betaland probe plans exactly one of two files
+    assert len(t.planned_files(where={"country": ("Betaland", "Betaland")})) == 1
+    got = (st.read_zone_counts_table(world.spark, tbl_dir, country="Betaland")
+           .toPandas().sort_values("aez_code").reset_index(drop=True))
+    full = (st.read_zone_counts_table(world.spark, tbl_dir).toPandas()
+            .query("country == 'Betaland'")
+            .sort_values("aez_code").reset_index(drop=True))
+    pd.testing.assert_frame_equal(got, full[got.columns.tolist()],
+                                  check_dtype=False)
