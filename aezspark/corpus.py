@@ -232,6 +232,49 @@ def simhash16(docs: DataFrame, text_col: str = "text") -> DataFrame:
     return simhash(docs, text_col, bits=16)
 
 
+def simhash_pairs(sh: DataFrame, max_hamming: int = 3,
+                  bits: int = 64) -> DataFrame:
+    """Near-dup pairs from simhash fingerprints at Hamming distance
+    ≤ max_hamming — the pigeonhole block banding of Manku et al. (WWW'07,
+    "Detecting near-duplicates for web crawling"): split the fingerprint
+    into max_hamming+1 blocks; two fingerprints within distance d differ in
+    at most d blocks, so they must agree EXACTLY on ≥1 block. Bucket-join
+    on (block_idx, block_value), then verify the true distance with ONE
+    bit_count(xor) on the candidates — COMPLETE by pigeonhole (no missed
+    pairs, unlike probabilistic MinHash banding) and never a cartesian:
+    the join shuffles 8-byte keys, |pairs| is bounded by block-bucket
+    collisions. Skew note: degenerate corpora (many empty/identical docs)
+    can produce a hot block bucket — the LSH hot-bucket guard pattern
+    (`lsh_candidate_pairs`) is the production mitigation; here the verify
+    filter keeps the output exact.
+
+    Returns (doc_a, doc_b, hamming), doc_a < doc_b."""
+    nb = max_hamming + 1
+    if not 1 <= nb <= bits:
+        raise ValueError(f"need 1..{bits} blocks, got {nb}")
+    base, rem = divmod(bits, nb)
+    blocks, off = [], 0
+    for i in range(nb):
+        w = base + (1 if i < rem else 0)
+        blocks.append(F.shiftrightunsigned(F.col("simhash"), off)
+                      .bitwiseAND(F.lit((1 << w) - 1)))
+        off += w
+    b = sh.select("doc_id", "simhash",
+                  F.posexplode(F.array(*blocks)).alias("block_idx", "block_val"))
+    l, r = b.alias("l"), b.alias("r")
+    cand = (l.join(r, ["block_idx", "block_val"])
+            .filter(F.col("l.doc_id") < F.col("r.doc_id"))
+            .select(F.col("l.doc_id").alias("doc_a"),
+                    F.col("r.doc_id").alias("doc_b"),
+                    F.col("l.simhash").alias("sim_a"),
+                    F.col("r.simhash").alias("sim_b"))
+            .distinct())  # a close pair agrees on several blocks
+    ham = F.bit_count(F.col("sim_a").bitwiseXOR(F.col("sim_b")))
+    return (cand.withColumn("hamming", ham.cast("int"))
+            .filter(F.col("hamming") <= max_hamming)
+            .select("doc_a", "doc_b", "hamming"))
+
+
 # ---------------------------------------------------- similarity search
 
 def lsh_planes(dim: int, num_planes: int = 8) -> list[list[float]]:

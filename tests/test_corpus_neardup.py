@@ -62,3 +62,39 @@ def test_bucket_restriction_matches_lsh_bucket_ids(embeddings):
     got = {(r.vec_a, r.vec_b) for r in
            corpus.embedding_neardup_pairs(embeddings, planes).collect()}
     assert got == expected
+
+
+def test_simhash_pairs_complete_vs_brute_force(spark):
+    """Pigeonhole banding must find EXACTLY the Hamming<=d pairs (complete,
+    no misses - unlike probabilistic MinHash banding) and plan a bucket
+    join, never a cartesian."""
+    base = ("the quick brown fox jumps over the lazy dog and runs far "
+            "away into the deep green forest tonight")
+    rows = []
+    for i in range(24):
+        words = base.split()
+        # small controlled edits so several pairs land within distance 3
+        if i % 3 == 1:
+            words[i % len(words)] = f"tok{i}"
+        if i % 3 == 2:
+            words[(2 * i) % len(words)] = f"tok{i}"
+            words[(2 * i + 5) % len(words)] = f"alt{i}"
+        rows.append((f"d{i:02d}", " ".join(words)))
+    docs = spark.createDataFrame(rows, "doc_id STRING, text STRING")
+    sh = corpus.simhash(docs)
+
+    got = {(r.doc_a, r.doc_b, r.hamming)
+           for r in corpus.simhash_pairs(sh, max_hamming=3).collect()}
+
+    fps = {r.doc_id: r.simhash & ((1 << 64) - 1) for r in sh.collect()}
+    ids = sorted(fps)
+    exp = {(a, b, bin(fps[a] ^ fps[b]).count("1"))
+           for i, a in enumerate(ids) for b in ids[i + 1:]
+           if bin(fps[a] ^ fps[b]).count("1") <= 3}
+    assert got == exp
+    assert exp  # the corpus actually contains near-dup pairs
+
+    plan = (corpus.simhash_pairs(sh, max_hamming=3)
+            ._jdf.queryExecution().executedPlan().toString())
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
