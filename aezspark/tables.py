@@ -259,15 +259,7 @@ class SnapshotTable:
         paths = [os.path.join(self.data_dir, f) for f in files]
         df = self._read_with_table_schema(snap, paths)
         if where:
-            from pyspark.sql import functions as F
-
-            for col, (lo, hi) in where.items():
-                if lo is not None:
-                    df = df.filter(F.col(col) >= F.lit(lo))
-                if hi is not None:
-                    df = df.filter(F.col(col) <= F.lit(hi))
-                if lo is None and hi is None:
-                    df = df.filter(F.col(col).isNotNull())
+            df = _apply_where(df, where)
         return df
 
     def _read_with_table_schema(self, snap: dict, paths: list[str]) -> DataFrame:
@@ -311,7 +303,8 @@ class SnapshotTable:
         return [f for f in snap["files"] if f not in prev]
 
     def read_appends(self, after_snapshot_id: int,
-                     until_snapshot_id: int | None = None) -> DataFrame:
+                     until_snapshot_id: int | None = None,
+                     where: dict | None = None) -> DataFrame:
         """Incremental scan (Iceberg's incremental-append read): the rows
         appended AFTER snapshot `after_snapshot_id`, up to and including
         `until_snapshot_id` (default: current). Planned purely from
@@ -323,7 +316,9 @@ class SnapshotTable:
         changelog cannot represent: that raises ValueError (Iceberg's
         incremental scan refuses the same way). Consuming the range requires
         its manifests to still be retained (expire_snapshots breaks replay
-        older than the retention window, as in Iceberg)."""
+        older than the retention window, as in Iceberg). `where` prunes the
+        appended files via the until-snapshot's manifest stats and applies
+        the exact residual range filter, same semantics as `read(where=)`."""
         until = (self.current_snapshot_id() if until_snapshot_id is None
                  else until_snapshot_id)
         chain = []
@@ -345,13 +340,20 @@ class SnapshotTable:
             if op in ("append", "add_files"):
                 files.extend(self.added_files(snap["snapshot_id"]))
             # 'replace' (compaction): rewritten bytes, zero new logical rows
+        until_snap = self.snapshot(until)
+        if where:
+            stats = until_snap.get("stats", {})
+            files = [f for f in files if _file_may_match(stats.get(f), where)]
         if not files:
             # schema-correct empty result: plan from the until-snapshot
             return self.read(until).limit(0)
         paths = [os.path.join(self.data_dir, f) for f in files]
         # plan with the until-snapshot's schema: appends from before an
         # add-column evolution surface the added columns as NULL
-        return self._read_with_table_schema(self.snapshot(until), paths)
+        df = self._read_with_table_schema(until_snap, paths)
+        if where:
+            df = _apply_where(df, where)
+        return df
 
     def compact(self, target_file_bytes: int = 128 << 20,
                 min_input_files: int = 2) -> int | None:
@@ -525,6 +527,22 @@ def _json_safe(v) -> bool:
         return math.isfinite(v)  # NaN/Inf: not strict JSON, and NaN
         # comparisons are always-False — mark unprunable instead
     return isinstance(v, (int, str, bool))
+
+
+def _apply_where(df: DataFrame, where: dict) -> DataFrame:
+    """The exact residual range filter for a `where` spec (inclusive bounds,
+    SQL BETWEEN semantics: NULLs never match) — pruning is only ever a
+    performance win on top of this."""
+    from pyspark.sql import functions as F
+
+    for col, (lo, hi) in where.items():
+        if lo is not None:
+            df = df.filter(F.col(col) >= F.lit(lo))
+        if hi is not None:
+            df = df.filter(F.col(col) <= F.lit(hi))
+        if lo is None and hi is None:
+            df = df.filter(F.col(col).isNotNull())
+    return df
 
 
 def _file_may_match(fstats: dict | None, where: dict) -> bool:

@@ -319,6 +319,10 @@ def test_manifest_stats_prune_files(spark, tmp_path):
     # half-open ranges
     assert len(t.planned_files(where={"k": (20, None)})) == 1
     assert len(t.planned_files(where={"k": (None, 9)})) == 1
+    # incremental changelog read prunes + filters the same way
+    inc = t.read_appends(1, where={"k": (12, 15)})
+    assert sorted(r.k for r in inc.collect()) == list(range(12, 16))
+    assert t.read_appends(1, where={"k": (0, 5)}).count() == 0  # pre-range
 
 
 def test_stats_survive_compaction_and_time_travel(spark, tmp_path):
