@@ -149,3 +149,27 @@ def test_pip_agrees_with_independent_winding(ring, pts):
     got = poly.contains(lon[keep], lat[keep])
     ref = winding_contains(lon[keep], lat[keep], ring_x, ring_y)
     assert (got == ref).all()
+
+
+@given(st.lists(st.integers(min_value=-1000, max_value=1000), min_size=1,
+                max_size=20),
+       st.integers(min_value=-1000, max_value=1000),
+       st.integers(min_value=0, max_value=400))
+def test_manifest_prune_is_sound(values, lo, span):
+    """Scan-planning soundness law: a file whose recorded [min, max] covers
+    ANY value inside the queried range must be KEPT. (The converse —
+    pruning files that provably miss — is effectiveness, pinned in the
+    snapshot-table tests; this pins that pruning can never be lossy, for
+    fuzzed value sets and ranges including empty and degenerate ones.)"""
+    from aezspark.tables import _file_may_match
+
+    hi = lo + span
+    fstats = {"k": [min(values), max(values)]}
+    any_in_range = any(lo <= v <= hi for v in values)
+    kept = _file_may_match(fstats, {"k": (lo, hi)})
+    if any_in_range:
+        assert kept
+    # missing / poisoned stats are always kept
+    assert _file_may_match({"k": None}, {"k": (lo, hi)})
+    assert _file_may_match(None, {"k": (lo, hi)})
+    assert _file_may_match({}, {"k": (lo, hi)})
