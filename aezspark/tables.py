@@ -607,7 +607,8 @@ def _parquet_files_under(path: str) -> list[str]:
 
 
 def ensure_imported_table(spark: SparkSession, src_path: str,
-                          tables_root: str) -> SnapshotTable:
+                          tables_root: str,
+                          stat_cols: tuple[str, ...] | None = None) -> SnapshotTable:
     """Zero-copy import of an existing parquet dataset into a snapshot
     table (Iceberg's `add_files` migration procedure: register the EXISTING
     files in a manifest — no rewrite), so pipelines read via manifest
@@ -622,7 +623,8 @@ def ensure_imported_table(spark: SparkSession, src_path: str,
     them, but vacuum never touches them.
     """
     fp = source_fingerprint(src_path)
-    tbl = SnapshotTable(spark, os.path.join(tables_root, f"import_{fp}"))
+    tbl = SnapshotTable(spark, os.path.join(tables_root, f"import_{fp}"),
+                        stat_cols=stat_cols)
     if tbl.current_snapshot_id() is None:
         files = _parquet_files_under(src_path)
         if not files:
@@ -635,7 +637,12 @@ def ensure_imported_table(spark: SparkSession, src_path: str,
             {"format": "parquet",
              "arrow_schema": pq.read_schema(files[0]).to_string()})
         try:
-            tbl._commit(files, schema_json, "add_files")
+            tbl._commit(files, schema_json, "add_files",
+                        # stat_cols: footer-only min/max of the existing
+                        # files (external=True: manifest stores absolute
+                        # paths) — imported tables get read(where=) pruning
+                        # like native ones, still zero data rewrite
+                        stats=tbl._new_file_stats(files, external=True))
         except ConcurrentCommitError:
             pass  # a racing importer of the same fingerprint committed
                   # the identical file list — reuse it

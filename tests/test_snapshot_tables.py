@@ -399,3 +399,25 @@ def test_schema_evolution_refuses_incompatible(spark, tmp_path):
     # overwrite restates the schema freely
     t.overwrite(_df(spark, 0, 5).drop("v"))
     assert t.read().columns == ["id"]
+
+
+def test_imported_table_stats_prune(spark, tmp_path):
+    """add_files import with stat_cols: footer-only min/max of the EXISTING
+    files goes into the manifest (zero rewrite), so imported tables get the
+    same read(where=) file skipping as native ones."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from aezspark.tables import ensure_imported_table
+
+    src = tmp_path / "src"
+    src.mkdir()
+    pq.write_table(pa.table({"k": list(range(0, 10))}), src / "a.parquet")
+    pq.write_table(pa.table({"k": list(range(10, 20))}), src / "b.parquet")
+    t = ensure_imported_table(spark, str(src), str(tmp_path / "tables"),
+                              stat_cols=("k",))
+    assert len(t.snapshot()["files"]) == 2
+    planned = t.planned_files(where={"k": (12, 15)})
+    assert len(planned) == 1 and planned[0].endswith("b.parquet")
+    got = sorted(r.k for r in t.read(where={"k": (12, 15)}).collect())
+    assert got == list(range(12, 16))
