@@ -62,8 +62,16 @@ def point_in_ring(lon, lat, ring_lons, ring_lats):
             crosses = (a_y > lat) != (b_y > lat)
             if not crosses.any():
                 continue
-            x_at = x1[i] + (lat - a_y) * (x2[i] - x1[i]) / (b_y - a_y)
-            inside ^= crosses & (lon < x_at)
+            # evaluate the intersection only on the crossing lanes: for a
+            # crossing lane |lat - a_y| <= |b_y - a_y| so the quotient is
+            # bounded by the edge's lon extent, whereas a non-crossing lane
+            # against a near-horizontal edge (tiny b_y - a_y) can overflow
+            # the divide — masked-lane garbage was discarded but still
+            # raised RuntimeWarning (fatal under the test suite's
+            # error::RuntimeWarning policy)
+            lat_c = lat[crosses]
+            x_at = x1[i] + (lat_c - a_y) * (x2[i] - x1[i]) / (b_y - a_y)
+            inside[crosses] ^= lon[crosses] < x_at
         return inside
 
     order = np.argsort(lat)
