@@ -537,7 +537,12 @@ def neardup_canonical(clusters: DataFrame, docs: DataFrame,
     order; integers make the choice deterministic and engine-portable.
     Returns (doc_id, cluster_id, keep) for every clustered document — the
     keep=false rows are the dedup drop list; documents in no cluster are
-    singletons and are implicitly kept.
+    singletons and are implicitly kept. "Every clustered document" is literal:
+    the quality join is a LEFT join, so a clustered doc_id missing from
+    `docs` (stale cluster table, partial corpus read) still gets a row — its
+    quality keys coalesce to -1, so unknown docs deterministically lose to
+    any known doc and tie-break among themselves by min doc_id, instead of
+    silently vanishing from both the keep list and the drop list.
 
     Plan at scale: one hash join on doc_id, then one window argmax
     partitioned by cluster_id — LSH clusters are near-cliques of a few
@@ -548,7 +553,9 @@ def neardup_canonical(clusters: DataFrame, docs: DataFrame,
     w = (W.partitionBy("cluster_id")
          .orderBy(F.col("n_tokens").desc(), F.col("n_chars").desc(),
                   F.col("doc_id").asc()))
-    return (clusters.join(q, "doc_id")
+    return (clusters.join(q, "doc_id", "left")
+            .withColumn("n_tokens", F.coalesce("n_tokens", F.lit(-1)))
+            .withColumn("n_chars", F.coalesce("n_chars", F.lit(-1)))
             .withColumn("rn", F.row_number().over(w))
             .select("doc_id", "cluster_id",
                     (F.col("rn") == 1).alias("keep")))

@@ -94,3 +94,23 @@ def test_neardup_canonical_keeps_best_per_cluster(spark):
     # exactly one keep per cluster, drop list is everything else
     kept = [d for d, (_, k) in got.items() if k]
     assert sorted(kept) == ["a", "x"]
+
+
+def test_neardup_canonical_unknown_docs_survive(spark):
+    """A clustered doc_id absent from `docs` must still appear in the output
+    (ADVICE r5): unknown docs coalesce quality to -1, so they lose to any
+    known doc and tie-break among themselves by min doc_id."""
+    from aezspark import corpus
+
+    docs = spark.createDataFrame(
+        [("a", "the cat sat on the mat")],
+        "doc_id STRING, text STRING")
+    clusters = spark.createDataFrame(
+        # 'ghost1'/'ghost2' are clustered but missing from docs;
+        # cluster 'z' is ALL ghosts — one of them must still be kept
+        [("a", "a"), ("ghost1", "a"), ("ghost2", "z"), ("ghost3", "z")],
+        "doc_id STRING, cluster_id STRING")
+    got = {r.doc_id: (r.cluster_id, r.keep)
+           for r in corpus.neardup_canonical(clusters, docs).collect()}
+    assert got == {"a": ("a", True), "ghost1": ("a", False),
+                   "ghost2": ("z", True), "ghost3": ("z", False)}
