@@ -67,6 +67,23 @@ def enrich_stream(docs_stream: DataFrame, bidx, tile_lookup, fine,
             .trigger(availableNow=True))
 
 
+def _max_stream_batch_id(tbl) -> int:
+    """Highest stream batch_id ever committed to `tbl` (-1 for none).
+    O(1): read from the current snapshot's `max_stream_batch_id` table
+    property. Tables written before the property existed fall back to a
+    one-time chain scan of the retained summaries; the next commit
+    re-publishes the watermark as a property."""
+    try:
+        snap = tbl.snapshot()
+    except FileNotFoundError:
+        return -1
+    props = snap.get("properties", {})
+    if "max_stream_batch_id" in props:
+        return int(props["max_stream_batch_id"])
+    done = [s["summary"].get("stream_batch_id") for s in tbl.snapshots()]
+    return max((d for d in done if d is not None), default=-1)
+
+
 def enrich_stream_to_table(docs_stream: DataFrame, bidx, tile_lookup, fine,
                            table_dir: str, checkpoint_dir: str):
     """Streaming zone-count ingestion into a SNAPSHOT TABLE (north rule
@@ -74,11 +91,19 @@ def enrich_stream_to_table(docs_stream: DataFrame, bidx, tile_lookup, fine,
     micro-batch runs the fused flagship kernel and APPENDS one atomic
     snapshot whose manifest records the stream batch_id. foreachBatch is
     at-least-once — a recovered stream can replay its last batch — so the
-    sink checks the snapshot chain first and SKIPS a batch_id that already
-    committed: at-least-once delivery + idempotent commit = exactly-once at
-    the table level, the same scheme as Iceberg's streaming sinks (the
-    snapshot summary is the transaction log). Readers always see complete
-    snapshots (manifest CAS), and time travel recovers any per-batch state.
+    sink SKIPS any batch_id it has already committed: at-least-once delivery
+    + idempotent commit = exactly-once at the table level, the same scheme
+    as Iceberg's streaming sinks.
+
+    The already-committed check is O(1) and expiry-safe (ADVICE r5,
+    Iceberg's approach): each commit publishes a monotonic
+    `max_stream_batch_id` TABLE PROPERTY — carried forward by every later
+    snapshot, including compaction replaces — so the sink reads ONE manifest
+    (the current snapshot) instead of rescanning the whole chain each
+    micro-batch, and a fresh-checkpoint full replay after expire_snapshots
+    removed the old append manifests still commits nothing (batch ids
+    restart below the watermark). Readers always see complete snapshots
+    (manifest CAS), and time travel recovers any per-batch state.
     """
     from .tables import SnapshotTable
 
@@ -90,13 +115,13 @@ def enrich_stream_to_table(docs_stream: DataFrame, bidx, tile_lookup, fine,
         # whole batch files without opening them (tables.py scan planning)
         tbl = SnapshotTable(batch_df.sparkSession, table_dir,
                             stat_cols=("country",))
-        done = {s["summary"].get("stream_batch_id") for s in tbl.snapshots()}
-        if batch_id in done:
+        if batch_id <= _max_stream_batch_id(tbl):
             return  # replayed batch: already committed, skip (idempotent)
         counts = (docs_mod.assign_zone_counts(batch_df, bidx, tile_lookup,
                                               fine)
                   .withColumn("batch_id", F.lit(batch_id)))
-        tbl.append(counts, summary={"stream_batch_id": batch_id})
+        tbl.append(counts, summary={"stream_batch_id": batch_id},
+                   properties={"max_stream_batch_id": batch_id})
 
     return (docs_stream.writeStream
             .foreachBatch(process)

@@ -42,6 +42,9 @@ import uuid
 from pyspark.sql import DataFrame, SparkSession
 
 
+COMPACT_MAX_RETRIES = 8  # lost-CAS retries before compact() gives up loudly
+
+
 class ConcurrentCommitError(RuntimeError):
     """Lost an optimistic-concurrency commit race (or found crashed-commit
     debris): the target snapshot manifest already exists. Retry the commit;
@@ -59,14 +62,55 @@ class SnapshotTable:
         query touching 3 files and touching 30,000 (row-group min/max
         pruning inside Spark only helps AFTER a file is opened; an object
         store charges per GET). Write-side opt-in; pruning on read needs
-        only the manifest."""
+        only the manifest.
+
+        stat_cols=None (the default) INHERITS the table's persisted stat
+        columns (the `stat_cols` table property, recorded at every commit):
+        a maintenance job or reader constructing `SnapshotTable(spark, dir)`
+        gets the same manifest stats the original writer declared — in
+        particular `compact()` run from the CLI recomputes stats for the
+        rewritten files instead of silently committing a stat-less replace
+        snapshot (ADVICE r5). Pass an explicit tuple to (re)declare, or ()
+        to disable stats for this writer's commits."""
         self.spark = spark
         self.table_dir = table_dir
-        self.stat_cols = tuple(stat_cols) if stat_cols else ()
+        # None = inherit from the table's properties at use time (the table
+        # may not exist yet at construction time — resolve lazily)
+        self._stat_cols = tuple(stat_cols) if stat_cols is not None else None
         self.data_dir = os.path.join(table_dir, "data")
         self.meta_dir = os.path.join(table_dir, "metadata")
         os.makedirs(self.data_dir, exist_ok=True)
         os.makedirs(self.meta_dir, exist_ok=True)
+
+    @property
+    def stat_cols(self) -> tuple[str, ...]:
+        if self._stat_cols is not None:
+            return self._stat_cols
+        try:
+            snap = self.snapshot()
+        except FileNotFoundError:
+            return ()
+        props = snap.get("properties", {})
+        if "stat_cols" in props:
+            return tuple(props["stat_cols"])
+        # pre-properties manifests: derive from the stats dict actually
+        # recorded (per-file column keys), so old tables keep pruning
+        cols: set[str] = set()
+        for fstats in snap.get("stats", {}).values():
+            if fstats:
+                cols.update(fstats)
+        return tuple(sorted(cols))
+
+    def properties(self) -> dict:
+        """Current table properties (Iceberg table-properties analog):
+        key/values carried forward from parent to child at EVERY commit —
+        append, replace (compaction), overwrite — so they survive
+        maintenance and snapshot expiry. Empty for tables with no commits
+        or pre-properties manifests."""
+        try:
+            return dict(self.snapshot().get("properties", {}))
+        except FileNotFoundError:
+            return {}
 
     # ---- snapshot chain ----
 
@@ -146,7 +190,8 @@ class SnapshotTable:
 
     def _commit(self, files: list[str], schema_json: str, operation: str,
                 summary: dict | None = None,
-                stats: dict | None = None) -> int:
+                stats: dict | None = None,
+                properties: dict | None = None) -> int:
         """Optimistic-concurrency commit: the snapshot manifest is written to
         a tmp file and published with an atomic os.link create-if-absent CAS,
         so when two writers race to sid = parent+1 exactly one
@@ -159,6 +204,14 @@ class SnapshotTable:
         committer (the error message says which file)."""
         parent = self.current_snapshot_id()
         sid = (parent or 0) + 1
+        # properties: parent's carried forward, caller's updates applied on
+        # top, stat_cols self-recorded — every commit (append / replace /
+        # overwrite) re-publishes them, so they survive compaction and
+        # snapshot expiry without rescanning the chain
+        props = dict(self.snapshot(parent).get("properties", {})) if parent else {}
+        props.update(properties or {})
+        if self.stat_cols:
+            props["stat_cols"] = list(self.stat_cols)
         snap = {
             "snapshot_id": sid,
             "parent_id": parent,
@@ -167,6 +220,8 @@ class SnapshotTable:
             "schema": json.loads(schema_json),
             "summary": {"n_files": len(files), **(summary or {})},
         }
+        if props:
+            snap["properties"] = props
         if stats:
             snap["stats"] = stats
         snap_path = os.path.join(self.meta_dir, f"snap-{sid}.json")
@@ -204,7 +259,8 @@ class SnapshotTable:
         return self._commit(files, df.schema.json(), "overwrite",
                             stats=self._new_file_stats(files))
 
-    def append(self, df: DataFrame, summary: dict | None = None) -> int:
+    def append(self, df: DataFrame, summary: dict | None = None,
+               properties: dict | None = None) -> int:
         """Append: new snapshot = parent's files + the new files. Data files
         are written BEFORE the commit — a crash in between leaves only
         unreferenced orphans, never a torn table. `summary` entries are
@@ -230,7 +286,7 @@ class SnapshotTable:
             prev_snap, prev = None, []
         all_files = prev + new_files
         return self._commit(all_files, df.schema.json(), "append",
-                            summary=summary,
+                            summary=summary, properties=properties,
                             stats=self._merged_stats(
                                 prev_snap, all_files,
                                 self._new_file_stats(new_files)))
@@ -393,7 +449,18 @@ class SnapshotTable:
         df = self._read_with_table_schema(snap, paths).coalesce(int(n_out))
         new_files = self._write_data_files(df)
         replaced = set(old_files)
-        while True:
+        # bounded CAS retries: under a steady appender an unbounded loop can
+        # livelock (ADVICE r5) — each lost race re-reads the chain and
+        # re-merges; after COMPACT_MAX_RETRIES the rewrite gives up loudly
+        # and its output becomes vacuum-able orphans (never a torn table).
+        # Jittered backoff desynchronizes the rewriter from a periodic
+        # appender so a retry is not doomed to hit the same commit window.
+        import random
+        import time
+
+        for attempt in range(COMPACT_MAX_RETRIES):
+            if attempt:
+                time.sleep(min(0.05 * (1 << attempt), 1.0) * random.random())
             cur = self.snapshot()
             if not replaced.issubset(cur["files"]):
                 raise ConcurrentCommitError(
@@ -411,6 +478,10 @@ class SnapshotTable:
                         cur, merged, self._new_file_stats(new_files)))
             except ConcurrentCommitError:
                 continue  # an append won the race; re-merge and retry
+        raise ConcurrentCommitError(
+            f"compaction lost the commit race {COMPACT_MAX_RETRIES} times "
+            f"(steady concurrent appender?); rewritten output left as "
+            f"orphans for vacuum — retry in a quieter window")
 
     def orphan_files(self) -> list[str]:
         """Data files referenced by NO retained snapshot (crash debris) —

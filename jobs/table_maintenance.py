@@ -4,16 +4,24 @@ analog for `aezspark.tables` tables — e.g. the streaming zone-counts sink).
     python tools/make_pyfiles.py
     spark-submit --py-files build/aezspark.zip jobs/table_maintenance.py \
         --table /path/to/table status
-    ... compact [--target-mb 128]
+    ... compact [--target-mb 128] [--stat-cols a,b]
     ... expire  [--keep-last 3]
     ... vacuum  [--grace-s 3600]
     ... plan    --col country --lo X --hi Y      # scan-planning telemetry
+    ... changelog --after N [--until M] [--col c --lo X --hi Y] [--show 5]
 
 `status` prints the snapshot chain (id, operation, files, summary) and the
 current file count; `plan` shows planned-vs-total files for a range probe
-(the manifest-stats pruning a reader would get) without reading any data.
+(the manifest-stats pruning a reader would get) without reading any data;
+`changelog` is the incremental-consumer example (read_appends): the rows
+appended after snapshot N, planned purely from manifests — compaction
+rewrites are skipped, an overwrite in the range refuses loudly.
 Maintenance order in production: compact → expire → vacuum; vacuum's grace
 window keeps in-flight appends safe (tables.py docstrings).
+
+Stat columns: maintenance inherits the table's persisted `stat_cols`
+property, so CLI compaction recomputes manifest min/max for the rewritten
+files without the caller re-declaring them; --stat-cols overrides.
 """
 
 from __future__ import annotations
@@ -32,6 +40,9 @@ def main():
     sub.add_parser("status")
     p = sub.add_parser("compact")
     p.add_argument("--target-mb", type=int, default=128)
+    p.add_argument("--stat-cols", default=None,
+                   help="comma-separated override; default: inherit the "
+                        "table's persisted stat_cols property")
     p = sub.add_parser("expire")
     p.add_argument("--keep-last", type=int, default=3)
     p = sub.add_parser("vacuum")
@@ -40,12 +51,24 @@ def main():
     p.add_argument("--col", required=True)
     p.add_argument("--lo", default=None)
     p.add_argument("--hi", default=None)
+    p = sub.add_parser("changelog")
+    p.add_argument("--after", type=int, required=True,
+                   help="emit rows appended AFTER this snapshot id")
+    p.add_argument("--until", type=int, default=None)
+    p.add_argument("--col", default=None)
+    p.add_argument("--lo", default=None)
+    p.add_argument("--hi", default=None)
+    p.add_argument("--show", type=int, default=5,
+                   help="sample rows to print (0: count only)")
     args = ap.parse_args()
 
     from aezspark.session import get_spark
     from aezspark.tables import SnapshotTable
 
-    tbl = SnapshotTable(get_spark("aezspark-table-maintenance"), args.table)
+    stat_cols = (tuple(args.stat_cols.split(","))
+                 if getattr(args, "stat_cols", None) else None)
+    tbl = SnapshotTable(get_spark("aezspark-table-maintenance"), args.table,
+                        stat_cols=stat_cols)
 
     if args.cmd == "status":
         for s in tbl.snapshots():
@@ -65,20 +88,33 @@ def main():
         removed = tbl.vacuum(grace_seconds=args.grace_s)
         print(f"vacuumed {len(removed)} orphan file(s)")
     elif args.cmd == "plan":
-        def conv(v):
-            if v is None:
-                return None
-            try:
-                return int(v)
-            except ValueError:
-                return v
-        where = {args.col: (conv(args.lo), conv(args.hi))}
+        where = {args.col: (_conv(args.lo), _conv(args.hi))}
         planned = tbl.planned_files(where=where)
         total = len(tbl.snapshot()["files"])
         print(f"planned {len(planned)}/{total} files for "
               f"{args.col} in [{args.lo}, {args.hi}]")
         for f in planned:
             print(f"  {f}")
+    elif args.cmd == "changelog":
+        where = ({args.col: (_conv(args.lo), _conv(args.hi))}
+                 if args.col else None)
+        df = tbl.read_appends(args.after, until_snapshot_id=args.until,
+                              where=where)
+        until = args.until if args.until is not None \
+            else tbl.current_snapshot_id()
+        print(f"appended rows after snap {args.after} (until {until}): "
+              f"{df.count()}")
+        if args.show:
+            df.show(args.show, truncate=False)
+
+
+def _conv(v):
+    if v is None:
+        return None
+    try:
+        return int(v)
+    except ValueError:
+        return v
 
 
 if __name__ == "__main__":

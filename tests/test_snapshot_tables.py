@@ -421,3 +421,73 @@ def test_imported_table_stats_prune(spark, tmp_path):
     assert len(planned) == 1 and planned[0].endswith("b.parquet")
     got = sorted(r.k for r in t.read(where={"k": (12, 15)}).collect())
     assert got == list(range(12, 16))
+
+
+def test_stat_cols_persist_as_table_property(spark, tmp_path):
+    """The writer's stat_cols are a persisted table property (ADVICE r5):
+    a fresh handle with no stat_cols — the maintenance-CLI situation —
+    inherits them, so compact() run through it recomputes manifest min/max
+    for the rewritten files instead of committing a stat-less replace."""
+    t = SnapshotTable(spark, str(tmp_path / "t"), stat_cols=("k",))
+    for lo in range(0, 30, 10):
+        t.append(_kdf(spark, lo, lo + 10))
+    assert t.properties()["stat_cols"] == ["k"]
+
+    maint = SnapshotTable(spark, str(tmp_path / "t"))  # no stat_cols passed
+    assert maint.stat_cols == ("k",)
+    sid = maint.compact(target_file_bytes=1 << 40)
+    assert sid is not None
+    files = maint.snapshot()["files"]
+    assert maint.snapshot()["stats"][files[0]]["k"] == [0, 29]
+    # appends through the stat-less handle also keep recording stats
+    maint.append(_kdf(spark, 100, 110))
+    f_new = maint.added_files(maint.current_snapshot_id())[0]
+    assert maint.snapshot()["stats"][f_new]["k"] == [100, 109]
+    assert len(maint.planned_files(where={"k": (105, 106)})) == 1
+
+
+def test_properties_carried_through_maintenance_and_expiry(spark, tmp_path):
+    """Table properties ride every commit — append, replace, overwrite —
+    and survive expire_snapshots (only the current snapshot must carry
+    them), the Iceberg table-properties contract."""
+    t = SnapshotTable(spark, str(tmp_path / "t"))
+    t.append(_df(spark, 0, 5), properties={"max_stream_batch_id": 0})
+    t.append(_df(spark, 5, 10), properties={"max_stream_batch_id": 1})
+    assert t.properties()["max_stream_batch_id"] == 1
+    assert t.compact(target_file_bytes=1 << 40) is not None  # replace commit
+    assert t.properties()["max_stream_batch_id"] == 1
+    t.expire_snapshots(keep_last=1)  # the append manifests are gone
+    assert len(t.snapshots()) == 1
+    assert t.properties()["max_stream_batch_id"] == 1
+    t.overwrite(_df(spark, 0, 3))
+    assert t.properties()["max_stream_batch_id"] == 1
+
+
+def test_compact_retry_cap_raises_loudly(spark, tmp_path, monkeypatch):
+    """A compaction that keeps losing the commit CAS gives up after a
+    bounded number of retries (ADVICE r5: no livelock under a steady
+    appender) — loudly, with its output left as vacuum-able orphans."""
+    from aezspark import tables as tables_mod
+    from aezspark.tables import ConcurrentCommitError
+
+    t = SnapshotTable(spark, str(tmp_path / "t"))
+    t.append(_df(spark, 0, 5))
+    t.append(_df(spark, 5, 10))
+
+    monkeypatch.setattr(tables_mod, "COMPACT_MAX_RETRIES", 3)
+    calls = {"n": 0}
+    orig = SnapshotTable._commit
+
+    def always_lose(self, *a, **kw):
+        if kw.get("operation") == "replace" or (len(a) >= 3 and a[2] == "replace"):
+            calls["n"] += 1
+            raise ConcurrentCommitError("simulated lost CAS")
+        return orig(self, *a, **kw)
+
+    monkeypatch.setattr(SnapshotTable, "_commit", always_lose)
+    with pytest.raises(ConcurrentCommitError, match="lost the commit race"):
+        t.compact(target_file_bytes=1 << 40)
+    assert calls["n"] == 3
+    # table untouched; the rewritten file is an orphan for vacuum
+    assert len(t.snapshots()) == 2
+    assert len(t.orphan_files()) == 1

@@ -195,3 +195,43 @@ def test_zone_counts_table_country_read_prunes_and_matches(world, tmp_path):
             .sort_values("aez_code").reset_index(drop=True))
     pd.testing.assert_frame_equal(got, full[got.columns.tolist()],
                                   check_dtype=False)
+
+
+def test_stream_table_sink_replay_safe_after_expiry(world, tmp_path):
+    """Exactly-once must survive snapshot maintenance (ADVICE r5): after
+    compact() + expire_snapshots() removed the per-batch append manifests,
+    a FRESH-checkpoint full replay (batch ids restart at 0) still commits
+    nothing — the max_stream_batch_id table property rode the replace
+    commit forward, so the watermark outlives the manifests that set it.
+    The check is also O(1): one manifest read, not a chain scan."""
+    from aezspark.tables import SnapshotTable
+
+    in_dir = str(tmp_path / "in")
+    tbl_dir = str(tmp_path / "tbl")
+    _write_drops(world, in_dir, n_drops=2)
+
+    tl = tile_lookup_broadcast(world.spark, world.tiles())
+
+    def run(cp):
+        st.enrich_stream_to_table(
+            st.stream_documents(world.spark, in_dir, max_files_per_trigger=1),
+            world.bidx, tl, world.fine, tbl_dir,
+            str(tmp_path / cp)).start().awaitTermination()
+
+    run("cp1")
+    tbl = SnapshotTable(world.spark, tbl_dir)
+    assert tbl.properties()["max_stream_batch_id"] == 1
+    assert tbl.compact(target_file_bytes=1 << 40) is not None
+    tbl.expire_snapshots(keep_last=1)
+    assert len(tbl.snapshots()) == 1  # the batch_id summaries are GONE
+    assert tbl.snapshots()[0]["operation"] == "replace"
+    counts_before = (st.read_zone_counts_table(world.spark, tbl_dir)
+                     .toPandas().sort_values(["country", "aez_code"])
+                     .reset_index(drop=True))
+
+    run("cp2")  # fresh checkpoint: full replay, batch ids 0..1 again
+    assert len(tbl.snapshots()) == 1  # nothing committed
+    counts_after = (st.read_zone_counts_table(world.spark, tbl_dir)
+                    .toPandas().sort_values(["country", "aez_code"])
+                    .reset_index(drop=True))
+    pd.testing.assert_frame_equal(counts_after, counts_before)
