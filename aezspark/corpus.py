@@ -143,10 +143,17 @@ def lsh_candidate_pairs(buckets: DataFrame, doc_col: str = "doc_id",
 
     No silent caps: pass a pyspark.sql.Observation as `observation` and the
     run reports how much the guard actually dropped —
-    lsh_dropped_buckets / lsh_dropped_members metrics, collected by whatever
-    action executes the returned plan (jobs/run_aez.py --queries dedup
-    surfaces them; tests/test_lsh_hot_bucket.py asserts them on the
-    adversarial boilerplate fixture)."""
+    lsh_dropped_buckets / lsh_dropped_members metrics
+    (jobs/run_aez.py --queries dedup surfaces them;
+    tests/test_lsh_hot_bucket.py asserts them on the adversarial
+    boilerplate fixture). Passing an observation makes the guard
+    aggregation EAGER (observe + localCheckpoint, the neardup_clusters
+    pattern): a lazily observed CollectMetrics can be pruned by AQE's
+    empty-relation propagation when the final pair count is 0 — exactly a
+    run where the drop telemetry matters most — losing the metrics row
+    (obs.get then throws; seen on Spark 4.1). The cost is one extra pass
+    over the bucket table, paid only when telemetry is requested; the
+    checkpointed (tiny) size table is reused by the join."""
     if max_bucket_size is not None:
         sizes = (buckets.groupBy("band", "bucket")
                  .agg(F.count("*").alias("_bsz")))
@@ -157,7 +164,7 @@ def lsh_candidate_pairs(buckets: DataFrame, doc_col: str = "doc_id",
                 .alias("lsh_dropped_buckets"),
                 F.sum(F.when(F.col("_bsz") > max_bucket_size, F.col("_bsz"))
                       .otherwise(F.lit(0)).cast("long"))
-                .alias("lsh_dropped_members"))
+                .alias("lsh_dropped_members")).localCheckpoint()
         sizes = (sizes.filter(F.col("_bsz") <= max_bucket_size)
                  .select("band", "bucket"))
         buckets = buckets.join(sizes, ["band", "bucket"])
@@ -233,7 +240,8 @@ def simhash16(docs: DataFrame, text_col: str = "text") -> DataFrame:
 
 
 def simhash_pairs(sh: DataFrame, max_hamming: int = 3,
-                  bits: int = 64) -> DataFrame:
+                  bits: int = 64, max_bucket_size: int | None = 64,
+                  observation=None) -> DataFrame:
     """Near-dup pairs from simhash fingerprints at Hamming distance
     ≤ max_hamming — the pigeonhole block banding of Manku et al. (WWW'07,
     "Detecting near-duplicates for web crawling"): split the fingerprint
@@ -243,15 +251,42 @@ def simhash_pairs(sh: DataFrame, max_hamming: int = 3,
     bit_count(xor) on the candidates — COMPLETE by pigeonhole (no missed
     pairs, unlike probabilistic MinHash banding) and never a cartesian:
     the join shuffles 8-byte keys, |pairs| is bounded by block-bucket
-    collisions. Skew note: degenerate corpora (many empty/identical docs)
-    can produce a hot block bucket — the LSH hot-bucket guard pattern
-    (`lsh_candidate_pairs`) is the production mitigation; here the verify
-    filter keeps the output exact.
+    collisions.
+
+    `bits` must be the width of the fingerprints actually in `sh`
+    (ADVICE r5): declaring 64 over simhash16 output leaves 3 of the 4
+    pigeonhole blocks all-zero for EVERY document — every doc collides in
+    those bands and the self-join goes quadratic over the corpus while
+    staying "correct". The plan therefore asserts each fingerprint fits
+    the declared width (one branch-free shift+compare per row; for
+    bits=64 any int64 fits and the check is skipped).
+
+    Hot-block guard (same policy + telemetry as `lsh_candidate_pairs`):
+    a degenerate corpus — thousands of empty/boilerplate docs sharing one
+    fingerprint — makes some (block_idx, block_val) bucket quadratic.
+    Buckets over `max_bucket_size` are DROPPED, with the recall trade
+    disclosed via `observation` (simhash_dropped_buckets / _members;
+    eager, see lsh_candidate_pairs on why): an
+    over-cap bucket is a mass of block-identical members, and the right
+    pipeline routes identical docs through exact_dedup FIRST (identical
+    docs share the fingerprint, hence every block). Pigeonhole
+    completeness then holds for every pair with at least one retained
+    agreeing block. max_bucket_size=None disables the guard (small-N
+    baselines and brute-force-parity tests only).
 
     Returns (doc_a, doc_b, hamming), doc_a < doc_b."""
     nb = max_hamming + 1
     if not 1 <= nb <= bits:
         raise ValueError(f"need 1..{bits} blocks, got {nb}")
+    if bits < 64:
+        # fingerprint-width guard: fail LOUDLY on the first fingerprint
+        # that has bits above the declared width instead of silently
+        # degrading to a quadratic join on all-zero top blocks
+        sh = sh.withColumn("simhash", F.when(
+            F.shiftrightunsigned(F.col("simhash"), bits) == 0,
+            F.col("simhash")).otherwise(F.raise_error(F.concat(
+                F.lit(f"simhash_pairs: fingerprint wider than declared "
+                      f"bits={bits}: "), F.col("simhash").cast("string")))))
     base, rem = divmod(bits, nb)
     blocks, off = [], 0
     for i in range(nb):
@@ -261,13 +296,31 @@ def simhash_pairs(sh: DataFrame, max_hamming: int = 3,
         off += w
     b = sh.select("doc_id", "simhash",
                   F.posexplode(F.array(*blocks)).alias("block_idx", "block_val"))
-    l, r = b.alias("l"), b.alias("r")
+    if max_bucket_size is not None:
+        sizes = (b.groupBy("block_idx", "block_val")
+                 .agg(F.count("*").alias("_bsz")))
+        if observation is not None:
+            sizes = sizes.observe(
+                observation,
+                F.sum((F.col("_bsz") > max_bucket_size).cast("long"))
+                .alias("simhash_dropped_buckets"),
+                F.sum(F.when(F.col("_bsz") > max_bucket_size, F.col("_bsz"))
+                      .otherwise(F.lit(0)).cast("long"))
+                .alias("simhash_dropped_members")).localCheckpoint()
+        sizes = (sizes.filter(F.col("_bsz") <= max_bucket_size)
+                 .select("block_idx", "block_val"))
+        b = b.join(sizes, ["block_idx", "block_val"])
+    # renamed projections (not .alias() self-join): an Observation's
+    # CollectMetrics node inside BOTH branches of a deduplicated self-join
+    # breaks metric collection — distinct column names keep the branches
+    # structurally separate (the lsh_candidate_pairs shape)
+    l = b.select(F.col("doc_id").alias("doc_a"),
+                 F.col("simhash").alias("sim_a"), "block_idx", "block_val")
+    r = b.select(F.col("doc_id").alias("doc_b"),
+                 F.col("simhash").alias("sim_b"), "block_idx", "block_val")
     cand = (l.join(r, ["block_idx", "block_val"])
-            .filter(F.col("l.doc_id") < F.col("r.doc_id"))
-            .select(F.col("l.doc_id").alias("doc_a"),
-                    F.col("r.doc_id").alias("doc_b"),
-                    F.col("l.simhash").alias("sim_a"),
-                    F.col("r.simhash").alias("sim_b"))
+            .filter(F.col("doc_a") < F.col("doc_b"))
+            .select("doc_a", "doc_b", "sim_a", "sim_b")
             .distinct())  # a close pair agrees on several blocks
     ham = F.bit_count(F.col("sim_a").bitwiseXOR(F.col("sim_b")))
     return (cand.withColumn("hamming", ham.cast("int"))

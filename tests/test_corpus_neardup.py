@@ -98,3 +98,78 @@ def test_simhash_pairs_complete_vs_brute_force(spark):
             ._jdf.queryExecution().executedPlan().toString())
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_simhash_pairs_hot_block_guard(spark):
+    """Adversarial boilerplate mass (VERDICT r5 #3): hundreds of identical
+    docs share one fingerprint, so every (block_idx, block_val) bucket they
+    occupy goes quadratic without the cap. The guard must bound the pair
+    count, account for every drop via the Observation, and stay inert on
+    well-behaved corpora (capped == uncapped)."""
+    from pyspark.sql import Observation
+
+    boiler = "identical boilerplate footer text on every single page "
+    rows = [(f"dup-{i:05d}", boiler * 2) for i in range(300)]
+    rows += [(f"uni-{i:05d}", f"distinct document {i} payload {i * 7919} "
+              f"with unique content words {i * 104729}") for i in range(20)]
+    docs = spark.createDataFrame(rows, "doc_id STRING, text STRING")
+    sh = corpus.simhash(docs)
+
+    obs = Observation("simhash_guard")
+    capped = corpus.simhash_pairs(sh, observation=obs).count()
+    assert capped < 1000, f"guard failed: {capped} pairs"
+    m = obs.get
+    # the identical mass over-fills its bucket in EVERY one of the 4 blocks
+    assert m["simhash_dropped_buckets"] >= 4
+    assert m["simhash_dropped_members"] >= 4 * 300
+    # uncapped counterfactual: the mass alone is C(300,2) pairs
+    assert (corpus.simhash_pairs(sh, max_bucket_size=None).count()
+            >= 300 * 299 // 2)
+    # exact_dedup upstream collapses the mass losing nothing
+    mass = corpus.exact_dedup(docs).filter("cluster_size = 300").collect()
+    assert len(mass) == 1 and mass[0].canonical_doc_id == "dup-00000"
+
+    # inert on a clean corpus: capped == uncapped, zero drops reported
+    clean = spark.createDataFrame(
+        [(f"c{i:02d}", f"clearly unique text number {i} with payload "
+          f"{i * 31337}") for i in range(30)],
+        "doc_id STRING, text STRING")
+    sh2 = corpus.simhash(clean)
+    obs2 = Observation("simhash_guard_inert")
+    a = set(map(tuple,
+                corpus.simhash_pairs(sh2, observation=obs2).collect()))
+    b = set(map(tuple,
+                corpus.simhash_pairs(sh2, max_bucket_size=None).collect()))
+    assert a == b
+    m2 = obs2.get
+    assert (m2["simhash_dropped_buckets"] or 0) == 0
+    assert (m2["simhash_dropped_members"] or 0) == 0
+
+
+def test_simhash_pairs_refuses_width_mismatch(spark):
+    """Declared bits must match the fingerprints (ADVICE r5): 64-bit
+    fingerprints under bits=16 would leave 3 of 4 blocks all-zero — a
+    silent quadratic join — so the plan fails loudly instead. Matching
+    16-bit fingerprints under bits=16 pass and agree with brute force."""
+    import pytest
+    from py4j.protocol import Py4JJavaError
+    from pyspark.errors import PySparkException
+
+    docs = spark.createDataFrame(
+        [(f"d{i}", f"document number {i} some words {i * 7919}")
+         for i in range(8)], "doc_id STRING, text STRING")
+    wide = corpus.simhash(docs, bits=64)
+    with pytest.raises((Py4JJavaError, PySparkException),
+                       match="wider than declared"):
+        corpus.simhash_pairs(wide, bits=16).count()
+
+    narrow = corpus.simhash16(docs)
+    got = {(r.doc_a, r.doc_b, r.hamming) for r in
+           corpus.simhash_pairs(narrow, bits=16,
+                                max_bucket_size=None).collect()}
+    fps = {r.doc_id: r.simhash & 0xFFFF for r in narrow.collect()}
+    ids = sorted(fps)
+    exp = {(a, b, bin(fps[a] ^ fps[b]).count("1"))
+           for i, a in enumerate(ids) for b in ids[i + 1:]
+           if bin(fps[a] ^ fps[b]).count("1") <= 3}
+    assert got == exp
