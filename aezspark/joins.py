@@ -162,9 +162,14 @@ def _match_arrays(idx: BoundaryIndex, lon, lat, knn_fallback: bool,
 
 
 def _tile_codes(tl, fine: GridSpec, lon, lat) -> np.ndarray:
-    """Fused raster→vector lookup: AEZ code of each point's fine-grid pixel
-    via searchsorted over the broadcast sorted (cell_id, code) arrays;
-    blank/miss = 255 (C_TMR_BLNK, process_imagery.py:41)."""
+    """Fused raster→vector lookup: AEZ code of each point's fine-grid pixel;
+    blank/miss = 255 (C_TMR_BLNK, process_imagery.py:41). Two backends with
+    identical semantics: broadcast sorted (cell_id, code) arrays
+    (tile_lookup_broadcast — fast while the land-tile dim fits in memory),
+    or the shard-manifest lookup (TileShardLookup — bounded memory at any
+    grid size; the scale path)."""
+    if isinstance(tl, TileShardLookup):
+        return _tile_codes_sharded(tl, fine, lon, lat)
     cells_sorted, codes = tl
     if len(cells_sorted) == 0:
         return np.full(len(lon), 255, dtype=np.int32)
@@ -174,6 +179,155 @@ def _tile_codes(tl, fine: GridSpec, lon, lat) -> np.ndarray:
     pos_c = np.minimum(pos, len(cells_sorted) - 1)
     hit = cells_sorted[pos_c] == fcell
     return np.where(hit, codes[pos_c], 255).astype(np.int32)
+
+
+class TileShardLookup:
+    """Shard MANIFEST of a clustered tile sink (io.write_tiles layout: one
+    cell-sorted parquet file per tile_id partition) for the fused kernel's
+    raster→vector lookup — the broadcast-free scale path (VERDICT r5 #1).
+
+    tile_lookup_broadcast collects every non-blank tile cell to the driver:
+    at the reference's full 300 m grid (129600×64800 ≈ 2.4 B land cells,
+    data/copernicus/README.txt:3) that broadcast is tens of GB and the
+    fused plan dies. This object broadcasts only {tile_id → shard paths}
+    (a few MB at 90k tiles); each kernel batch computes its points'
+    tile_ids arithmetically and loads JUST those shards via pyarrow,
+    through a worker-process-persistent LRU (`max_cached_shards`, default
+    64 × ~1 MB/shard) — per-worker memory is bounded by the LRU, not the
+    grid, while per-executor I/O stays ≤ one read of the tile table (the
+    same bound a broadcast pays, minus the shards nobody's points touch).
+    Geo-clustered inputs drop shard touches to near-minimal; randomly
+    ordered inputs degrade gracefully to cache misses, never to OOM.
+
+    Lookup inside a shard is the same searchsorted over sorted cell ids —
+    write_tiles sorts cells within each tile file exactly so this (and
+    parquet row-group pruning) works. Blank (255) cells resolve either by
+    shard hit (the sink stores them) or by missing-tile fallback, so a
+    land-only sink gives identical answers."""
+
+    def __init__(self, shard_paths: dict[int, tuple[str, ...]], tile_px: int,
+                 n_tiles_x: int, max_cached_shards: int = 64):
+        self.shard_paths = shard_paths
+        self.tile_px = tile_px
+        self.n_tiles_x = n_tiles_x
+        self.max_cached_shards = max_cached_shards
+
+
+# worker-process-persistent shard cache: Spark reuses Python workers across
+# tasks, so each worker re-reads a shard only after LRU eviction
+_SHARD_CACHE: "dict[str, tuple[np.ndarray, np.ndarray]]" = {}
+
+
+def _load_shard(path: str, max_cached: int):
+    ent = _SHARD_CACHE.pop(path, None)
+    if ent is None:
+        import pyarrow.parquet as pq
+
+        t = pq.read_table(path, columns=["cell_id", "aez_code"])
+        cells = t.column("cell_id").to_numpy().astype(np.int64)
+        codes = t.column("aez_code").to_numpy().astype(np.int32)
+        if len(cells) > 1 and not bool(np.all(cells[:-1] <= cells[1:])):
+            order = np.argsort(cells)  # unclustered shard: sort once, cached
+            cells, codes = cells[order], codes[order]
+        ent = (cells, codes)
+    _SHARD_CACHE[path] = ent  # re-insert = move to MRU end (dicts are ordered)
+    while len(_SHARD_CACHE) > max_cached:
+        _SHARD_CACHE.pop(next(iter(_SHARD_CACHE)))
+    return ent
+
+
+def _tile_codes_sharded(tsl: TileShardLookup, fine: GridSpec,
+                        lon, lat) -> np.ndarray:
+    fy, fx = fine.lonlat_to_yx(lon, lat)
+    fcell = fine.cell_id(fy, fx)
+    tid = (fy // tsl.tile_px) * tsl.n_tiles_x + (fx // tsl.tile_px)
+    out = np.full(len(fcell), 255, dtype=np.int32)
+    for t in np.unique(tid):
+        paths = tsl.shard_paths.get(int(t))
+        if not paths:
+            continue  # tile absent from the sink: all-blank (255)
+        m = tid == t
+        fc = fcell[m]
+        sub = out[m]
+        for path in paths:
+            cells_sorted, codes = _load_shard(path, tsl.max_cached_shards)
+            if not len(cells_sorted):
+                continue
+            pos = np.searchsorted(cells_sorted, fc)
+            pos_c = np.minimum(pos, len(cells_sorted) - 1)
+            hit = cells_sorted[pos_c] == fc
+            sub = np.where(hit, codes[pos_c], sub)
+        out[m] = sub
+    return out
+
+
+def tile_shard_lookup(spark: SparkSession, tiles_path: str, fine: GridSpec,
+                      tile_px: int = 256, max_cached_shards: int = 64,
+                      tables_root: str | None = None):
+    """Build + broadcast a TileShardLookup over a write_tiles sink.
+
+    With `tables_root`, the shard list is planned from a snapshot-table
+    manifest (tables.ensure_imported_table — zero-copy add_files import,
+    staleness-keyed by source fingerprint) instead of a directory walk: at
+    object-store scale, listing 90k partition dirs is O(files) LISTs and
+    races with writers; the manifest is one GET. Falls back to the walk for
+    plain directories (tests, local runs).
+
+    Validates the tile geometry against one real shard: a wrong tile_px or
+    grid would mis-route every lookup to the wrong shard (silent all-255),
+    so the constructor recomputes a sample file's tile_id from its min cell
+    and refuses on mismatch."""
+    if tables_root is not None:
+        from .tables import ensure_imported_table
+
+        files = ensure_imported_table(spark, tiles_path, tables_root
+                                      ).snapshot()["files"]
+    else:
+        files = []
+        for dirpath, _dirs, fnames in os.walk(tiles_path):
+            for f in sorted(fnames):
+                if f.endswith(".parquet"):
+                    files.append(os.path.join(dirpath, f))
+    shard_paths: dict[int, tuple[str, ...]] = {}
+    for path in sorted(files):
+        tid = _tile_id_of_path(path)
+        shard_paths[tid] = shard_paths.get(tid, ()) + (path,)
+    if not shard_paths:
+        raise FileNotFoundError(f"no tile_id=N parquet shards under {tiles_path}")
+    n_tiles_x = (fine.nx + tile_px - 1) // tile_px
+    _validate_shard_geometry(shard_paths, fine, tile_px, n_tiles_x)
+    return spark.sparkContext.broadcast(
+        TileShardLookup(shard_paths, tile_px, n_tiles_x, max_cached_shards))
+
+
+def _tile_id_of_path(path: str) -> int:
+    for part in path.split(os.sep):
+        if part.startswith("tile_id="):
+            return int(part.split("=", 1)[1])
+    raise ValueError(f"not a write_tiles layout (no tile_id= dir): {path}")
+
+
+def _validate_shard_geometry(shard_paths: dict, fine: GridSpec,
+                             tile_px: int, n_tiles_x: int) -> None:
+    import pyarrow.parquet as pq
+
+    # probe the HIGHEST tile id: tile 0's min cell maps to tile 0 under any
+    # tile_px, so only a nonzero tile falsifies a wrong geometry
+    tid, paths = max(shard_paths.items())
+    meta = pq.read_metadata(paths[0])
+    ci = [c for c in range(meta.num_columns)
+          if meta.schema.column(c).name == "cell_id"]
+    if not ci:
+        raise ValueError(f"{paths[0]}: no cell_id column")
+    first_cell = min(meta.row_group(g).column(ci[0]).statistics.min
+                     for g in range(meta.num_row_groups))
+    y, x = fine.yx(np.asarray([first_cell]))
+    got = int((y[0] // tile_px) * n_tiles_x + (x[0] // tile_px))
+    if got != tid:
+        raise ValueError(
+            f"tile geometry mismatch: shard dir says tile_id={tid} but its "
+            f"min cell maps to tile {got} under tile_px={tile_px}, "
+            f"nx={fine.nx} — wrong tile_px or grid for this sink")
 
 
 def assign_points(points: DataFrame, index, lat_col: str = "lat",
@@ -189,11 +343,14 @@ def assign_points(points: DataFrame, index, lat_col: str = "lat",
     every input column and appends (feature_id, country, method) where method
     ∈ {'pip','knn'}; many-to-many preserves overlapping claims.
 
-    tile_lookup (+ fine): optional Broadcast of (sorted_cell_ids, codes)
-    numpy arrays — the AEZ raster→vector lookup fused into this same kernel
-    via searchsorted, adding an aez_code column with zero extra stages (right
-    whenever the non-blank tile dim fits in memory; otherwise leave None and
-    equi-join the tiles table — documents.with_aez).
+    tile_lookup (+ fine): optional Broadcast of either (sorted_cell_ids,
+    codes) numpy arrays (tile_lookup_broadcast) or a TileShardLookup
+    manifest (tile_shard_lookup) — the AEZ raster→vector lookup fused into
+    this same kernel, adding an aez_code column with zero extra stages.
+    Arrays while the land-tile dim fits in memory; the shard manifest at
+    any grid size (per-worker LRU over the clustered sink); or leave None
+    and equi-join the tiles table (documents.with_aez SMJ — the only
+    variant that un-fuses the downstream dedup).
 
     project: input columns to keep in the output (default: all). Projecting
     INSIDE the kernel matters at scale — dropped columns never cross the
@@ -474,7 +631,12 @@ def knn_topk_join(points: DataFrame, index, k: int,
 def tile_lookup_broadcast(spark: SparkSession, tiles_df: DataFrame):
     """Collect the non-blank (cell_id → aez_code) tile dim as sorted numpy
     arrays and broadcast it for the fused assign kernel. Blank (255) cells
-    are reconstructed by the lookup miss path, so only land tiles ship."""
+    are reconstructed by the lookup miss path, so only land tiles ship.
+
+    CEILING: the collect is driver-memory-bound — right up to ~10⁸ land
+    cells (a couple of GB). At the reference's full 300 m grid (~2.4 B land
+    cells) use tile_shard_lookup instead: same fused kernel, same answers,
+    memory bounded by a per-worker LRU over the clustered tile sink."""
     pdf = (tiles_df.filter(F.col("aez_code") != 255)
            .select("cell_id", "aez_code").toPandas())
     cells = pdf["cell_id"].to_numpy(dtype=np.int64)

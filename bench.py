@@ -113,6 +113,47 @@ def ensure_bucketed_tiles(spark, n_docs: int) -> str:
     return table
 
 
+def ensure_tiles_sink(spark, n_docs: int) -> str:
+    """Build-once clustered tile sink (io.write_tiles layout: one cell-sorted
+    file per tile_id partition) for the shard-lookup flagship variant —
+    untimed static-index setup, same terms as the broadcast/SMJ paths."""
+    from aezspark.fixtures.generate import ensure_fixtures
+    from aezspark.io import write_tiles
+
+    fx = ensure_fixtures(bench_fx_dir(n_docs), coarse_px=0.5, n_docs=n_docs,
+                         with_expected=False)
+    path = os.path.join(fx, "tiles_sink")
+    if not os.path.isdir(path):
+        w = _bench_world(spark, fx)
+        write_tiles(_tiles_cache(spark, w), path)
+    return path
+
+
+def _flagship_shard(spark, n_docs: int):
+    """The flagship fused pipeline with the SHARD-MANIFEST tile lookup
+    (VERDICT r5 #1): same fused emit='zone_counts' kernel, but the kernel
+    loads only the tile shards its points touch via the clustered-sink
+    manifest + a worker LRU — no driver-collected tile broadcast, so the
+    fast fused path survives the real 300 m grid where the broadcast dim
+    is tens of GB. Should sit within the A/A band of flagship_docs."""
+    from pyspark.sql import functions as F
+
+    from aezspark import documents as docs_mod
+    from aezspark.fixtures.generate import ensure_fixtures
+    from aezspark.joins import tile_shard_lookup
+
+    fx = ensure_fixtures(bench_fx_dir(n_docs), coarse_px=0.5, n_docs=n_docs,
+                         with_expected=False)
+    w = _bench_world(spark, fx)
+    key = ("shard_lookup", id(spark))
+    if key not in _WORLD_CACHE:
+        _WORLD_CACHE[key] = tile_shard_lookup(
+            spark, ensure_tiles_sink(spark, n_docs), w.fine)
+    sl = _WORLD_CACHE[key]
+    out = docs_mod.assign_zone_counts(w.documents(), w.bidx, sl, w.fine)
+    return out.agg(F.sum("n_docs")).collect()[0][0]
+
+
 def _flagship_smj(spark, n_docs: int):
     """The flagship pipeline via the NON-broadcast tile path: tiles stored as
     a bucketed table on the join key, points shuffled to it (co-partitioned
@@ -428,6 +469,7 @@ def main():
 
     benches = {
         "flagship_docs": lambda: _flagship(spark, n_docs),
+        "flagship_docs_shard": lambda: _flagship_shard(spark, n_docs),
         "flagship_docs_smj": lambda: _flagship_smj(spark, n_docs),
         "aez_by_country": lambda: _aez(spark, fx),
         "tile_classify": lambda: _tiles(spark, fx),
@@ -440,6 +482,8 @@ def main():
         benches = {k: v for k, v in benches.items() if k in only}
     if "flagship_docs_smj" in benches:
         ensure_bucketed_tiles(spark, n_docs)  # untimed static-index setup
+    if "flagship_docs_shard" in benches:
+        ensure_tiles_sink(spark, n_docs)  # untimed static-index setup
 
     reps = int(os.environ.get("BENCH_REPS", "1"))
     queries = {}
