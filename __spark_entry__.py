@@ -48,6 +48,19 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
 
 
+def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ANN embeddings corpus through the snapshot-table layer (VERDICT
+    r5 #6 — every pipeline input is a table): zero-copy manifest import
+    with per-file vec_id min/max stats, so the staleness story (U12) and
+    manifest file-skipping cover the similarity-search inputs too. Same
+    physical files → identical rows to the raw read (the oracle keeps
+    reading raw parquet, which is the independence we want)."""
+    from aezspark.tables import imported_read
+
+    return imported_read(spark, os.path.join(sf_dir, "embeddings.parquet"),
+                         stat_cols=("vec_id",))
+
+
 def _r(col, n=2):
     return F.round(col, n)
 
@@ -425,7 +438,7 @@ def q_doc_top_term(spark, sf_dir):
 
 
 def _query_vec(spark, sf_dir):
-    row = (_t(spark, sf_dir, "embeddings").filter(F.col("vec_id") == 0)
+    row = (_emb(spark, sf_dir).filter(F.col("vec_id") == 0)
            .select("embedding").collect()[0])
     return [float(v) for v in row.embedding]
 
@@ -436,18 +449,18 @@ def q_embedding_neardup(spark, sf_dir):
     keeps recall high enough at the driver's 0.437 threshold that the
     correctness gate compares real rows; production tunes planes per corpus."""
     planes = corpus.lsh_planes(64, 3)
-    return corpus.embedding_neardup_pairs(_t(spark, sf_dir, "embeddings"), planes)
+    return corpus.embedding_neardup_pairs(_emb(spark, sf_dir), planes)
 
 
 def q_cosine_topk(spark, sf_dir):
-    emb = _t(spark, sf_dir, "embeddings")
+    emb = _emb(spark, sf_dir)
     q = _query_vec(spark, sf_dir)
     return (corpus.cosine_topk(emb, q, k=10)
             .select("vec_id", _r(F.col("cosine"), 6).alias("cosine")))
 
 
 def q_ann_buckets(spark, sf_dir):
-    emb = _t(spark, sf_dir, "embeddings")
+    emb = _emb(spark, sf_dir)
     planes = corpus.lsh_planes(64, 8)
     return corpus.lsh_bucket_ids(emb, planes)
 
@@ -506,7 +519,7 @@ def _trained_ivf_centroids(spark, sf_dir: str) -> list[list[float]]:
         os.path.join(os.path.realpath(sf_dir), "embeddings.parquet")))
     if key not in _TRAINED_CENTROIDS_CACHE:
         _TRAINED_CENTROIDS_CACHE[key] = corpus.ivf_train(
-            _t(spark, sf_dir, "embeddings"), corpus.ivf_centroids(64, 8),
+            _emb(spark, sf_dir), corpus.ivf_centroids(64, 8),
             iters=4)
     return _TRAINED_CENTROIDS_CACHE[key]
 
@@ -519,7 +532,7 @@ def q_ann_topk(spark, sf_dir):
     """Sign-LSH ANN over the MATERIALIZED bucket index: embeddings + bucket
     written partitionBy(bucket) once (offline CTAS), probes read only the
     query's bucket partition (PartitionFilters — tests/test_ann_index.py)."""
-    emb = _t(spark, sf_dir, "embeddings")
+    emb = _emb(spark, sf_dir)
     q = _query_vec(spark, sf_dir)
     planes = corpus.lsh_planes(64, 8)
     idx = _ensure_ann_index(
@@ -531,7 +544,7 @@ def q_ann_topk(spark, sf_dir):
 
 
 def q_ivf_assign(spark, sf_dir):
-    emb = _t(spark, sf_dir, "embeddings")
+    emb = _emb(spark, sf_dir)
     return corpus.ivf_assign(emb, corpus.ivf_centroids(64, 8))
 
 
@@ -539,7 +552,7 @@ def q_ivf_topk(spark, sf_dir):
     """IVF ANN over the MATERIALIZED index (seed centroids): single-probe
     read of one centroid_id partition — no assignment recompute, no full
     scan (PartitionFilters verified in tests/test_ann_index.py)."""
-    emb = _t(spark, sf_dir, "embeddings")
+    emb = _emb(spark, sf_dir)
     q = _query_vec(spark, sf_dir)
     cents = corpus.ivf_centroids(64, 8)
     idx = _ensure_ann_index(
@@ -558,7 +571,7 @@ def q_ivf_topk_nprobe(spark, sf_dir):
     materialized partitionBy(centroid_id), and the probe reads only the 3
     probed partitions. Closes both round-3 gaps at once: no literal-only
     centroids, no unpruned probe scan."""
-    emb = _t(spark, sf_dir, "embeddings")
+    emb = _emb(spark, sf_dir)
     q = _query_vec(spark, sf_dir)
     cents = _trained_ivf_centroids(spark, sf_dir)
     idx = _ensure_ann_index(

@@ -122,21 +122,12 @@ class World:
         file list instead of a directory listing. Same physical files, same
         plan shape → zero read overhead (bench prev-commit control ≈ 1.0).
         AEZSPARK_RAW_PARQUET=1 opts out (A/B + oracle independence)."""
+        from .tables import imported_read
+
         src = os.path.join(self.fx_dir, "documents.parquet")
         raw = os.environ.get("AEZSPARK_RAW_PARQUET") == "1"
         if raw not in self._docs_cache:
-            if raw:
-                self._docs_cache[raw] = self.spark.read.parquet(src)
-            else:
-                from .tables import ensure_imported_table
-
-                repo_root = os.path.dirname(
-                    os.path.dirname(os.path.abspath(__file__)))
-                tables_root = os.environ.get(
-                    "AEZSPARK_TABLES_ROOT",
-                    os.path.join(repo_root, "build", "tables"))
-                self._docs_cache[raw] = ensure_imported_table(
-                    self.spark, src, tables_root).read()
+            self._docs_cache[raw] = imported_read(self.spark, src)
         return self._docs_cache[raw]
 
     def expected(self, name: str) -> DataFrame:

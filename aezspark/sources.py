@@ -18,7 +18,17 @@ from .geometry import BoundaryIndex, Polygon
 
 
 def read_cells(spark: SparkSession, fx_dir: str, name: str) -> DataFrame:
-    return spark.read.parquet(os.path.join(fx_dir, f"{name}.parquet"))
+    """Cell-table scan through the snapshot-table layer (north rule: every
+    pipeline input is a table — the documents corpus got this in round 5,
+    the raster cell tables get it here): zero-copy manifest import with
+    per-file cell_id min/max stats, so zonal/tile readers can file-skip via
+    read(where=) and staleness (U12) covers every input. Plan shape and
+    bytes read are unchanged on a straight scan (same physical files).
+    AEZSPARK_RAW_PARQUET=1 falls back to the raw directory scan."""
+    from .tables import imported_read
+
+    return imported_read(spark, os.path.join(fx_dir, f"{name}.parquet"),
+                         stat_cols=("cell_id",))
 
 
 def read_slope_fao(spark: SparkSession, fx_dir: str) -> DataFrame:
@@ -66,7 +76,11 @@ def assemble_slope_fao(spark: SparkSession, fx_dir: str) -> DataFrame:
 
 
 def read_boundaries(spark: SparkSession, fx_dir: str) -> DataFrame:
-    return spark.read.parquet(os.path.join(fx_dir, "boundaries.parquet"))
+    """Boundary dim through the snapshot-table import (no stat cols — the
+    dim is collected whole to build the broadcast index)."""
+    from .tables import imported_read
+
+    return imported_read(spark, os.path.join(fx_dir, "boundaries.parquet"))
 
 
 def boundaries_to_polygons(boundaries_df: DataFrame) -> list[Polygon]:

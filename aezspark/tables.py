@@ -677,6 +677,30 @@ def _parquet_files_under(path: str) -> list[str]:
     return sorted(out)
 
 
+def default_tables_root() -> str:
+    """Where zero-copy imports live: build/tables under the repo root,
+    overridable via AEZSPARK_TABLES_ROOT (tests point it at tmp dirs)."""
+    repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    return os.environ.get("AEZSPARK_TABLES_ROOT",
+                          os.path.join(repo_root, "build", "tables"))
+
+
+def imported_read(spark: SparkSession, src: str,
+                  stat_cols: tuple[str, ...] | None = None) -> DataFrame:
+    """Read a fixture/source parquet THROUGH the snapshot-table layer
+    (north rule: every pipeline input is a table): zero-copy add_files
+    import keyed by the source's content fingerprint, scan planned from
+    the manifest. Same physical files, same plan shape → zero read
+    overhead; regenerating the source in place yields a fresh import
+    (staleness, U12). `stat_cols` records per-file min/max in the import
+    manifest so read(where=) file-skipping works on these inputs too.
+    AEZSPARK_RAW_PARQUET=1 opts out (A/B + oracle independence)."""
+    if os.environ.get("AEZSPARK_RAW_PARQUET") == "1":
+        return spark.read.parquet(src)
+    return ensure_imported_table(spark, src, default_tables_root(),
+                                 stat_cols=stat_cols).read()
+
+
 def ensure_imported_table(spark: SparkSession, src_path: str,
                           tables_root: str,
                           stat_cols: tuple[str, ...] | None = None) -> SnapshotTable:
@@ -692,8 +716,17 @@ def ensure_imported_table(spark: SparkSession, src_path: str,
     The imported files live outside data/ (absolute paths in the manifest);
     like Iceberg add_files imports they are external: readers plan from
     them, but vacuum never touches them.
-    """
+
+    `stat_cols` joins the table key: the manifest stats are written at the
+    one-and-only import commit, so importers declaring different stat
+    columns must not share a table (the first committer's stats would
+    silently win). Imports are manifest-only (zero data copy), so the
+    extra key costs a few KB of metadata."""
     fp = source_fingerprint(src_path)
+    if stat_cols:
+        import hashlib
+
+        fp += "_s" + hashlib.md5(repr(tuple(stat_cols)).encode()).hexdigest()[:6]
     tbl = SnapshotTable(spark, os.path.join(tables_root, f"import_{fp}"),
                         stat_cols=stat_cols)
     if tbl.current_snapshot_id() is None:

@@ -491,3 +491,37 @@ def test_compact_retry_cap_raises_loudly(spark, tmp_path, monkeypatch):
     # table untouched; the rewritten file is an orphan for vacuum
     assert len(t.snapshots()) == 2
     assert len(t.orphan_files()) == 1
+
+
+def test_cell_tables_read_through_imports_with_stats(spark, world, tmp_path,
+                                                     monkeypatch):
+    """VERDICT r5 #6: raster cell tables and boundaries read through the
+    snapshot-table import by default — same rows as the raw parquet, and
+    the import manifest carries per-file cell_id min/max so these inputs
+    get read(where=) file-skipping and U12 staleness like documents do."""
+    from aezspark import sources
+
+    root = str(tmp_path / "tables")
+    monkeypatch.setenv("AEZSPARK_TABLES_ROOT", root)
+    monkeypatch.delenv("AEZSPARK_RAW_PARQUET", raising=False)
+    via_table = sources.read_cells(spark, world.fx_dir, "cells_kg")
+    imports = os.listdir(root)
+    assert imports  # the import happened here
+    monkeypatch.setenv("AEZSPARK_RAW_PARQUET", "1")
+    raw = sources.read_cells(spark, world.fx_dir, "cells_kg")
+    assert via_table.schema == raw.schema
+    assert via_table.exceptAll(raw).count() == 0
+
+    # the import manifest recorded usable cell_id stats: a narrow range
+    # probe must plan a subset (or all, if single-file) WITH bounds present
+    tbl = SnapshotTable(spark, os.path.join(root, sorted(imports)[0]))
+    snap = tbl.snapshot()
+    assert snap["operation"] == "add_files"
+    assert tbl.properties()["stat_cols"] == ["cell_id"]
+    assert all(st.get("cell_id") for st in snap["stats"].values())
+
+    # boundaries route through the layer too (no stat cols: broadcast dim)
+    monkeypatch.delenv("AEZSPARK_RAW_PARQUET", raising=False)
+    b = sources.read_boundaries(spark, world.fx_dir)
+    assert b.count() > 0
+    assert len(os.listdir(root)) > len(imports)
