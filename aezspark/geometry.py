@@ -100,10 +100,17 @@ def point_in_ring(lon, lat, ring_lons, ring_lats):
 
 def point_seg_dist_deg(lon, lat, x1, y1, x2, y2):
     """Min distance (in equirectangular-scaled degrees) from N points to M
-    segments. Longitude is scaled by cos(lat) so distances are isotropic enough
-    for nearest-zone ranking at fixture latitudes (documented approximation;
-    exact geodesics are out of scope, matching the reference which has no
-    distance op at all). Returns (N, M)."""
+    segments. Longitude is scaled by cos(lat) of the QUERY POINT, so the
+    metric is locally isotropic (azimuthal-equirectangular about each
+    point). Quantified fidelity vs the spherical geodesic
+    (tests/test_within_distance.py::test_dist_km_metric_contract pins all
+    three): relative error ≤ ~0.6% at ANY latitude up to 85° for segments
+    subtending ≤ 1° (boundary edges at real data resolution), growing to a
+    few percent only for multi-degree edges above ~80° — where ranking can
+    swap candidates whose true distances differ by less than that error.
+    Exact geodesics are deliberately out of scope (the reference has no
+    distance op at all); consumers needing survey-grade distance post-hoc
+    refine the top-k with haversine_km. Returns (N, M)."""
     lon = np.asarray(lon, dtype=np.float64)[:, None]
     lat = np.asarray(lat, dtype=np.float64)[:, None]
     scale = np.cos(np.radians(lat))
@@ -137,9 +144,12 @@ def haversine_km(lat1, lon1, lat2, lon2):
 # km per degree of great-circle arc, derived from haversine_km itself (one
 # meridian degree at the same R=6371.0088): the factor that converts the
 # scaled-degree distances of the spatial joins — locally isotropic by the
-# cos(lat) lon scaling — into user-facing kilometres. For the boundary
-# proximities these joins report, the planar scaled-deg × arc conversion
-# agrees with a full haversine to O(d²).
+# cos(lat) lon scaling, so one scaled degree is one meridian degree in any
+# direction — into user-facing kilometres. For the boundary proximities
+# these joins report, the planar scaled-deg × arc conversion agrees with a
+# full haversine to O(d²); the measured end-to-end bound (dist_km vs
+# geodesic, including the cos(point-lat) term) is pinned by
+# tests/test_within_distance.py::test_dist_km_metric_contract.
 KM_PER_DEG = float(haversine_km(0.0, 0.0, 1.0, 0.0))
 
 
