@@ -235,3 +235,71 @@ def test_stream_table_sink_replay_safe_after_expiry(world, tmp_path):
                     .toPandas().sort_values(["country", "aez_code"])
                     .reset_index(drop=True))
     pd.testing.assert_frame_equal(counts_after, counts_before)
+
+
+def test_stream_sink_schema_evolution_mid_stream(world, tmp_path, monkeypatch):
+    """A sink upgrade mid-stream (VERDICT r5 #8): a later micro-batch that
+    ADDS a nullable column must evolve the table (older rows read as NULL),
+    and one that CHANGES a column type must refuse loudly — the streaming
+    sink inherits the batch append's evolution contract, verified through
+    the actual foreachBatch path, not just direct appends."""
+    import pytest
+    from pyspark.errors.exceptions.captured import StreamingQueryException
+
+    from aezspark import streaming as st_mod
+    from aezspark.tables import SnapshotTable
+
+    in_dir = str(tmp_path / "in")
+    tbl_dir = str(tmp_path / "tbl")
+    cp = str(tmp_path / "cp")
+    _write_drops(world, in_dir, n_drops=2)
+    tl = tile_lookup_broadcast(world.spark, world.tiles())
+
+    def run():
+        st.enrich_stream_to_table(
+            st.stream_documents(world.spark, in_dir, max_files_per_trigger=1),
+            world.bidx, tl, world.fine, tbl_dir, cp).start().awaitTermination()
+
+    run()  # v1 sink: base schema
+    tbl = SnapshotTable(world.spark, tbl_dir)
+    base_cols = set(tbl.read().columns)
+    assert "pipeline_ver" not in base_cols
+
+    # v2 sink deploy: the enrichment now tags rows with a nullable column
+    orig = st_mod.docs_mod.assign_zone_counts
+
+    def v2(*a, **kw):
+        # nullif: a NULLABLE literal — a plain F.lit is non-nullable, which
+        # the evolution contract rightly refuses (old files can't satisfy it)
+        return orig(*a, **kw).withColumn("pipeline_ver",
+                                         F.expr("nullif('v2', '')"))
+
+    monkeypatch.setattr(st_mod.docs_mod, "assign_zone_counts", v2)
+    # new drop under a new filename -> new batch on the SAME checkpoint
+    docs = world.documents().limit(40)
+    docs.coalesce(1).write.mode("overwrite").parquet(str(tmp_path / "d3"))
+    import shutil
+    for f in os.listdir(str(tmp_path / "d3")):
+        if f.endswith(".parquet"):
+            shutil.move(os.path.join(str(tmp_path / "d3"), f),
+                        os.path.join(in_dir, f"file_v2_{f}"))
+    run()
+    got = tbl.read()
+    assert "pipeline_ver" in got.columns  # schema evolved
+    vals = {r.pipeline_ver for r in got.select("pipeline_ver").distinct().collect()}
+    assert vals == {None, "v2"}  # old files surface NULL, new files v2
+
+    # v3 sink that widens a column type must be REFUSED loudly
+    def v3(*a, **kw):
+        # keeps v2's column (dropping it would be refused as a column drop);
+        # the one violation is the n_docs type change
+        return v2(*a, **kw).withColumn("n_docs", F.col("n_docs").cast("double"))
+
+    monkeypatch.setattr(st_mod.docs_mod, "assign_zone_counts", v3)
+    docs.coalesce(1).write.mode("overwrite").parquet(str(tmp_path / "d4"))
+    for f in os.listdir(str(tmp_path / "d4")):
+        if f.endswith(".parquet"):
+            shutil.move(os.path.join(str(tmp_path / "d4"), f),
+                        os.path.join(in_dir, f"file_v3_{f}"))
+    with pytest.raises(StreamingQueryException, match="type"):
+        run()
