@@ -216,6 +216,85 @@ def _flagship_stages(spark, n_docs: int) -> dict:
     return out
 
 
+def _table_scan_planning(spark, n_docs: int, n_commits: int = 128) -> dict:
+    """U21 measured end-to-end (VERDICT r5 #2): manifest min/max
+    file-skipping on a streaming-sink-shaped snapshot table — the
+    zone-counts output sliced into `n_commits` country-contiguous
+    micro-batch appends (exactly what enrich_stream_to_table commits over a
+    day), then a single-country read measured three ways:
+
+      wall_pruned_s    read(where=country): manifest prunes to planned_files
+      wall_unpruned_s  same filter, no manifest pruning (opens every file —
+                       what a directory-listing reader pays; at an object
+                       store each file is a GET)
+      wall_compacted_s the same pruned read after compact() bin-packed the
+                       table (stats recomputed from the rewritten footers)
+
+    Build is untimed (static setup); reads are best-of-3."""
+    import shutil
+
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from aezspark import documents as docs_mod
+    from aezspark.fixtures.generate import ensure_fixtures
+    from aezspark.tables import SnapshotTable
+
+    fx = ensure_fixtures(bench_fx_dir(n_docs), coarse_px=0.5, n_docs=n_docs,
+                         with_expected=False)
+    w = _bench_world(spark, fx)
+    cached = _WORLD_CACHE.get(id(spark))
+    if cached is not None:
+        tl = cached[1]
+    else:
+        from aezspark.joins import tile_lookup_broadcast
+
+        tl = tile_lookup_broadcast(spark, _tiles_cache(spark, w))
+    pdf = (docs_mod.assign_zone_counts(w.documents(), w.bidx, tl, w.fine)
+           .toPandas().sort_values(["country", "aez_code"])
+           .reset_index(drop=True))
+    path = os.path.join(fx, "zc_table_bench")
+    shutil.rmtree(path, ignore_errors=True)
+    tbl = SnapshotTable(spark, path, stat_cols=("country",))
+    for i, s in enumerate(np.array_split(pdf, n_commits)):
+        # one data file per micro-batch commit, like the streaming sink
+        tbl.append(spark.createDataFrame(s.assign(batch_id=i)).coalesce(1),
+                   summary={"stream_batch_id": i},
+                   properties={"max_stream_batch_id": i})
+
+    country = str(pdf["country"].iloc[len(pdf) // 2])
+    where = {"country": (country, country)}
+
+    def best_of(fn, reps=3):
+        best = None
+        for _ in range(reps):
+            t0 = time.monotonic()
+            fn()
+            dt = time.monotonic() - t0
+            best = dt if best is None else min(best, dt)
+        return round(best, 3)
+
+    total = len(tbl.snapshot()["files"])
+    planned = len(tbl.planned_files(where=where))
+    wall_pruned = best_of(lambda: tbl.read(where=where).count())
+    wall_unpruned = best_of(
+        lambda: tbl.read().filter(F.col("country") == country).count())
+    tbl.compact(target_file_bytes=128 << 20)
+    total_c = len(tbl.snapshot()["files"])
+    planned_c = len(tbl.planned_files(where=where))
+    wall_compacted = best_of(lambda: tbl.read(where=where).count())
+    return {
+        "commits": n_commits,
+        "files_total": total,
+        "planned_files": planned,
+        "wall_pruned_s": wall_pruned,
+        "wall_unpruned_s": wall_unpruned,
+        "files_after_compact": total_c,
+        "planned_after_compact": planned_c,
+        "wall_compacted_s": wall_compacted,
+    }
+
+
 def _bench_world(spark, fx):
     """One World per (JVM, fixture): the boundary index and cell->country
     assignment are build-once static indexes (the reference's masks/
@@ -258,9 +337,29 @@ def _dedup(spark, sf_dir):
 
 
 def _simhash(spark, sf_dir):
-    import __spark_entry__ as E
+    """The 64-bit fingerprint aggregation ALONE — the same workload this
+    bench name has measured since round 5, kept stable so the prev-commit
+    control stays apples-to-apples (the driver's q_simhash row additionally
+    folds the banding join since round 6; that join is benched separately
+    as simhash_pairs, outside the control list)."""
+    import os as _os
 
-    return E.q_simhash(spark, sf_dir).count()
+    from aezspark import corpus
+
+    docs = spark.read.parquet(_os.path.join(sf_dir, "documents.parquet"))
+    return corpus.simhash(docs, bits=64).count()
+
+
+def _simhash_pairs(spark, sf_dir):
+    """Fingerprints + pigeonhole block-banding near-dup join at Hamming<=3
+    (production guard on) — the full SimHash near-dup pipeline."""
+    import os as _os
+
+    from aezspark import corpus
+
+    docs = spark.read.parquet(_os.path.join(sf_dir, "documents.parquet"))
+    sh = corpus.simhash(docs, bits=64)
+    return corpus.simhash_pairs(sh, max_hamming=3).count()
 
 
 def _ann(spark, sf_dir):
@@ -476,6 +575,7 @@ def main():
         "relational_core": lambda: _relational(spark, sf_dir),
         "dedup_minhash_lsh": lambda: _dedup(spark, sf_dir),
         "simhash": lambda: _simhash(spark, sf_dir),
+        "simhash_pairs": lambda: _simhash_pairs(spark, sf_dir),
         "ann_cosine": lambda: _ann(spark, sf_dir),
     }
     if only:
@@ -513,6 +613,14 @@ def main():
     }
     if os.environ.get("BENCH_STAGES") and "flagship_docs" in queries:
         result["extras"]["stages"] = _flagship_stages(spark, n_docs)
+    # table-layer scan-planning datum (U21 measured): on full runs only,
+    # and never fatal to the measured numbers above
+    if not only and os.environ.get("BENCH_TABLE_PLANNING", "1") != "0":
+        try:
+            result["extras"]["table_scan_planning"] = \
+                _table_scan_planning(spark, n_docs)
+        except Exception as e:
+            result["extras"]["table_scan_planning"] = {"error": str(e)[:200]}
     # same-window prev-commit control: only on full (non-subset) runs — the
     # scaling harness and the control's own subprocesses set BENCH_ONLY
     if not only and os.environ.get("AEZSPARK_PREV_CONTROL", "1") != "0":
