@@ -368,9 +368,9 @@ class SnapshotTable:
         the range. `replace` snapshots (compaction) rewrite existing rows and
         add no logical rows, so their files are skipped — a downstream
         incremental consumer never re-reads rows because maintenance ran.
-        An `overwrite` in the range deletes rows, which an append-only
-        changelog cannot represent: that raises ValueError (Iceberg's
-        incremental scan refuses the same way). Consuming the range requires
+        An `overwrite` or row-level `delete` in the range removes rows,
+        which an append-only changelog cannot represent: that raises
+        ValueError (Iceberg's incremental scan refuses the same way). Consuming the range requires
         its manifests to still be retained (expire_snapshots breaks replay
         older than the retention window, as in Iceberg). `where` prunes the
         appended files via the until-snapshot's manifest stats and applies
@@ -389,10 +389,11 @@ class SnapshotTable:
         files = []
         for snap in reversed(chain):
             op = snap["operation"]
-            if op in ("overwrite",):
+            if op in ("overwrite", "delete"):
                 raise ValueError(
-                    f"snapshot {snap['snapshot_id']} is an overwrite: "
-                    f"append-only incremental read cannot represent deletes")
+                    f"snapshot {snap['snapshot_id']} is a row-removing "
+                    f"{op}: append-only incremental read cannot represent "
+                    f"deletes")
             if op in ("append", "add_files"):
                 files.extend(self.added_files(snap["snapshot_id"]))
             # 'replace' (compaction): rewritten bytes, zero new logical rows
@@ -448,13 +449,96 @@ class SnapshotTable:
             return None  # already at (or below) target granularity
         df = self._read_with_table_schema(snap, paths).coalesce(int(n_out))
         new_files = self._write_data_files(df)
-        replaced = set(old_files)
-        # bounded CAS retries: under a steady appender an unbounded loop can
-        # livelock (ADVICE r5) — each lost race re-reads the chain and
-        # re-merges; after COMPACT_MAX_RETRIES the rewrite gives up loudly
-        # and its output becomes vacuum-able orphans (never a torn table).
-        # Jittered backoff desynchronizes the rewriter from a periodic
-        # appender so a retry is not doomed to hit the same commit window.
+        return self._replace_files_commit(
+            set(old_files), new_files, "replace",
+            {"rewritten_files": len(new_files)})
+
+    def delete_where(self, where: dict) -> int | None:
+        """Row-level DELETE, copy-on-write (Iceberg copy-on-write delete /
+        RewriteFiles): remove every row matching `where` — the same
+        {col: (lo, hi)} inclusive-range language as read(where=), SQL
+        BETWEEN semantics, NULLs never match. This is the compliance
+        primitive a training-data table needs (opt-out / takedown by key
+        range) without rewriting the table.
+
+        File classification, cheapest proof first:
+          1. manifest stats pre-prune: files whose recorded min/max provably
+             miss the range are carried over UNTOUCHED (same manifest
+             entry, zero I/O — the common case when the delete key is a
+             stat column and the table is clustered on it);
+          2. each remaining candidate's parquet FOOTER (metadata only) then
+             classifies it: provably disjoint → untouched (covers tables
+             without stat_cols); provably all-matching (min/max inside the
+             range AND zero nulls in every where-column) → DROPPED whole,
+             no rewrite; otherwise → copy-on-write rewrite of the
+             surviving rows.
+
+        `deleted_rows` is exact and metadata-priced: footer num_rows of the
+        replaced files minus footer num_rows of the rewritten output (a
+        rewritten file that comes out empty is unlinked, not committed).
+
+        Commits operation='delete' under the same bounded-CAS retry loop as
+        compact(); snapshot-isolation semantics (Iceberg's default): the
+        delete applies to the snapshot it planned against, so a row
+        appended CONCURRENTLY that matches the predicate is untouched — a
+        lost CAS race to an appender retries keeping the appender's files,
+        a concurrent overwrite/compaction of a replaced file aborts loudly
+        with the rewritten output left as vacuum-able orphans.
+
+        Returns the new snapshot id, or None when no row matches — a no-op
+        delete commits NOTHING (it would poison read_appends ranges for
+        nothing). read_appends() refuses a range containing a delete
+        exactly as for overwrite: an append-only changelog cannot
+        represent row removal."""
+        import pyarrow.parquet as pq
+
+        snap = self.snapshot()
+        cols = tuple(where)
+        drops, rewrites, replaced_rows = [], [], 0
+        for f in self.planned_files(where):
+            path = os.path.join(self.data_dir, f)
+            if not _file_may_match(_footer_minmax(path, cols), where):
+                continue  # footer disproves what the manifest couldn't
+            md = pq.ParquetFile(path).metadata
+            replaced_rows += md.num_rows
+            (drops if _footer_all_match(md, where) else rewrites).append(f)
+        if not drops and not rewrites:
+            return None
+        new_files, new_rows = [], 0
+        if rewrites:
+            paths = [os.path.join(self.data_dir, f) for f in rewrites]
+            survivors = (self._read_with_table_schema(snap, paths)
+                         .filter(~_where_match_col(where)))
+            for f in self._write_data_files(survivors):
+                p = os.path.join(self.data_dir, f)
+                n = pq.ParquetFile(p).metadata.num_rows
+                if n == 0:
+                    os.remove(p)  # never committed: no reader can plan it
+                    continue
+                new_rows += n
+                new_files.append(f)
+        deleted = replaced_rows - new_rows
+        if deleted == 0:
+            # stats overlapped but no row actually matched: drop the
+            # byte-identical rewrite and commit nothing
+            for f in new_files:
+                os.remove(os.path.join(self.data_dir, f))
+            return None
+        return self._replace_files_commit(
+            set(drops) | set(rewrites), new_files, "delete",
+            {"deleted_rows": deleted, "dropped_files": len(drops),
+             "rewritten_files": len(new_files)})
+
+    def _replace_files_commit(self, replaced: set, new_files: list,
+                              operation: str, summary: dict) -> int:
+        """Bounded-CAS commit of a file rewrite (shared by compact() and
+        delete_where()): the current snapshot must still contain every
+        `replaced` file — if not, a rival overwrite/compaction won and this
+        raises ConcurrentCommitError (the rewritten output becomes
+        vacuum-able orphans, the rival's table is never clobbered). A lost
+        race to a plain appender is retried with jittered backoff (bounded:
+        an unbounded loop can livelock under a steady appender, ADVICE r5),
+        keeping the appender's files and replacing only `replaced`."""
         import random
         import time
 
@@ -464,22 +548,21 @@ class SnapshotTable:
             cur = self.snapshot()
             if not replaced.issubset(cur["files"]):
                 raise ConcurrentCommitError(
-                    "compaction input files were replaced by a concurrent "
-                    "overwrite/compaction; rewritten output left as orphans "
-                    "for vacuum")
+                    f"{operation} input files were replaced by a concurrent "
+                    f"overwrite/compaction; rewritten output left as "
+                    f"orphans for vacuum")
             merged = new_files + [f for f in cur["files"]
                                   if f not in replaced]
             try:
                 return self._commit(
-                    merged, json.dumps(cur["schema"]), "replace",
-                    summary={"replaced_files": len(replaced),
-                             "rewritten_files": len(new_files)},
+                    merged, json.dumps(cur["schema"]), operation,
+                    summary={"replaced_files": len(replaced), **summary},
                     stats=self._merged_stats(
                         cur, merged, self._new_file_stats(new_files)))
             except ConcurrentCommitError:
                 continue  # an append won the race; re-merge and retry
         raise ConcurrentCommitError(
-            f"compaction lost the commit race {COMPACT_MAX_RETRIES} times "
+            f"{operation} lost the commit race {COMPACT_MAX_RETRIES} times "
             f"(steady concurrent appender?); rewritten output left as "
             f"orphans for vacuum — retry in a quieter window")
 
@@ -614,6 +697,57 @@ def _apply_where(df: DataFrame, where: dict) -> DataFrame:
         if lo is None and hi is None:
             df = df.filter(F.col(col).isNotNull())
     return df
+
+
+def _where_match_col(where: dict):
+    """Boolean Column: the row matches EVERY range in `where` (the delete
+    predicate). Never NULL by construction: each per-column test leads with
+    isNotNull(), and in SQL three-valued logic FALSE AND NULL = FALSE — so
+    ~match is cleanly TRUE for rows with a NULL in a where-column (NULLs
+    never match, mirroring _apply_where's BETWEEN semantics, including the
+    (None, None) = isNotNull probe)."""
+    from pyspark.sql import functions as F
+
+    cond = F.lit(True)
+    for col, (lo, hi) in where.items():
+        c = F.col(col).isNotNull()
+        if lo is not None:
+            c = c & (F.col(col) >= F.lit(lo))
+        if hi is not None:
+            c = c & (F.col(col) <= F.lit(hi))
+        cond = cond & c
+    return cond
+
+
+def _footer_all_match(md, where: dict) -> bool:
+    """Metadata-only proof that EVERY row of a parquet file matches `where`:
+    each where-column must have min/max stats with ZERO nulls in every row
+    group, and [min, max] inside the range. Lets delete_where drop the file
+    whole without a rewrite; any doubt (missing stats, nulls, incomparable
+    types, column absent) → False, and the rewrite path — always correct,
+    just slower — takes over."""
+    per_col: dict[str, list] = {}
+    for rg in range(md.num_row_groups):
+        g = md.row_group(rg)
+        for ci in range(g.num_columns):
+            c = g.column(ci)
+            per_col.setdefault(c.path_in_schema, []).append(c.statistics)
+    for col, (lo, hi) in where.items():
+        stats = per_col.get(col)
+        if not stats or len(stats) != md.num_row_groups:
+            return False
+        for st in stats:
+            if (st is None or not st.has_min_max
+                    or st.null_count is None or st.null_count != 0):
+                return False
+            try:
+                if lo is not None and st.min < lo:
+                    return False
+                if hi is not None and st.max > hi:
+                    return False
+            except TypeError:
+                return False
+    return True
 
 
 def _file_may_match(fstats: dict | None, where: dict) -> bool:

@@ -8,6 +8,7 @@ analog for `aezspark.tables` tables — e.g. the streaming zone-counts sink).
     ... expire  [--keep-last 3]
     ... vacuum  [--grace-s 3600]
     ... plan    --col country --lo X --hi Y      # scan-planning telemetry
+    ... delete  --col doc_id --lo X --hi Y       # copy-on-write row delete
     ... changelog --after N [--until M] [--col c --lo X --hi Y] [--show 5]
 
 `status` prints the snapshot chain (id, operation, files, summary) and the
@@ -48,6 +49,10 @@ def main():
     p = sub.add_parser("vacuum")
     p.add_argument("--grace-s", type=float, default=3600.0)
     p = sub.add_parser("plan")
+    p.add_argument("--col", required=True)
+    p.add_argument("--lo", default=None)
+    p.add_argument("--hi", default=None)
+    p = sub.add_parser("delete")
     p.add_argument("--col", required=True)
     p.add_argument("--lo", default=None)
     p.add_argument("--hi", default=None)
@@ -95,6 +100,16 @@ def main():
               f"{args.col} in [{args.lo}, {args.hi}]")
         for f in planned:
             print(f"  {f}")
+    elif args.cmd == "delete":
+        where = {args.col: (_conv(args.lo), _conv(args.hi))}
+        sid = tbl.delete_where(where)
+        if sid is None:
+            print("no rows match (no-op, no snapshot committed)")
+        else:
+            s = tbl.snapshot(sid)["summary"]
+            print(f"delete -> snapshot {sid}: {s['deleted_rows']} row(s) "
+                  f"removed ({s['dropped_files']} file(s) dropped whole, "
+                  f"{s['rewritten_files']} rewritten)")
     elif args.cmd == "changelog":
         where = ({args.col: (_conv(args.lo), _conv(args.hi))}
                  if args.col else None)

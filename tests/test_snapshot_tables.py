@@ -525,3 +525,92 @@ def test_cell_tables_read_through_imports_with_stats(spark, world, tmp_path,
     b = sources.read_boundaries(spark, world.fx_dir)
     assert b.count() > 0
     assert len(os.listdir(root)) > len(imports)
+
+
+def test_delete_where_copy_on_write(spark, tmp_path):
+    """Row-level DELETE (Iceberg copy-on-write): files provably outside the
+    range are carried over as the SAME manifest entries (zero I/O), the
+    overlapping file is rewritten without the matching rows, and time travel
+    still reads the pre-delete snapshot."""
+    t = SnapshotTable(spark, str(tmp_path / "t"), stat_cols=("k",))
+    t.append(_kdf(spark, 0, 10))
+    t.append(_kdf(spark, 10, 20))
+    t.append(_kdf(spark, 20, 30))
+    pre = t.current_snapshot_id()
+    pre_files = t.snapshot()["files"]
+    sid = t.delete_where({"k": (12, 17)})
+    assert sid == pre + 1
+    snap = t.snapshot(sid)
+    assert snap["operation"] == "delete"
+    assert snap["summary"]["deleted_rows"] == 6
+    assert snap["summary"]["rewritten_files"] == 1
+    # the two disjoint files were not rewritten: identical manifest entries
+    assert len(set(pre_files) & set(snap["files"])) == 2
+    assert (sorted(r.k for r in t.read().collect())
+            == [k for k in range(30) if not 12 <= k <= 17])
+    assert t.read(where={"k": (12, 17)}).count() == 0
+    # time travel: the pre-delete snapshot still has every row
+    assert t.read(snapshot_id=pre).count() == 30
+    # stats were recomputed for the rewritten file
+    new_file = next(f for f in snap["files"] if f not in pre_files)
+    assert snap["stats"][new_file]["k"] == [10, 19]
+
+
+def test_delete_whole_file_drop_without_rewrite(spark, tmp_path):
+    """A file whose footer proves every row matches (min/max inside the
+    range, zero nulls) is dropped from the manifest with NO rewrite."""
+    t = SnapshotTable(spark, str(tmp_path / "t"), stat_cols=("k",))
+    t.append(_kdf(spark, 0, 10))
+    t.append(_kdf(spark, 10, 20))
+    t.append(_kdf(spark, 20, 30))
+    pre_files = t.snapshot()["files"]
+    sid = t.delete_where({"k": (10, 19)})
+    snap = t.snapshot(sid)
+    assert snap["summary"]["deleted_rows"] == 10
+    assert snap["summary"]["dropped_files"] == 1
+    assert snap["summary"]["rewritten_files"] == 0
+    assert len(snap["files"]) == 2
+    assert set(snap["files"]).issubset(set(pre_files))  # zero bytes written
+    assert sorted(r.k for r in t.read().collect()) == (
+        list(range(0, 10)) + list(range(20, 30)))
+
+
+def test_delete_null_rows_survive(spark, tmp_path):
+    """SQL BETWEEN semantics: a NULL in a where-column never matches, so
+    NULL rows survive any delete — including the (None, None) isNotNull
+    range — and the null-bearing file is never whole-dropped."""
+    t = SnapshotTable(spark, str(tmp_path / "t"), stat_cols=("k",))
+    t.append(spark.range(0, 10)
+             .selectExpr("IF(id < 3, NULL, id) AS k", "id AS v").coalesce(1))
+    sid = t.delete_where({"k": (None, None)})   # matches every non-null k
+    snap = t.snapshot(sid)
+    assert snap["summary"]["deleted_rows"] == 7
+    assert snap["summary"]["dropped_files"] == 0  # nulls forbid whole-drop
+    left = t.read().collect()
+    assert len(left) == 3 and all(r.k is None for r in left)
+
+
+def test_delete_noop_commits_nothing(spark, tmp_path):
+    """A delete that matches no row must NOT commit a snapshot (it would
+    poison read_appends ranges for nothing) and must leave no orphans."""
+    t = SnapshotTable(spark, str(tmp_path / "t"), stat_cols=("k",))
+    t.append(spark.range(0, 10)
+             .selectExpr("id * 2 AS k", "id AS v").coalesce(1))  # evens 0..18
+    assert t.delete_where({"k": (3, 3)}) is None        # inside stats, no row
+    assert t.delete_where({"k": (100, 200)}) is None    # pruned entirely
+    assert t.current_snapshot_id() == 1
+    assert t.read().count() == 10
+    assert t.orphan_files() == []
+
+
+def test_read_appends_refuses_delete_in_range(spark, tmp_path):
+    """An append-only changelog cannot represent a row delete: a range
+    containing one refuses loudly; a later range still works."""
+    t = SnapshotTable(spark, str(tmp_path / "t"), stat_cols=("k",))
+    s1 = t.append(_kdf(spark, 0, 10))
+    s2 = t.delete_where({"k": (0, 3)})
+    assert s2 == s1 + 1
+    t.append(_kdf(spark, 10, 20))
+    with pytest.raises(ValueError, match="delete"):
+        t.read_appends(s1)
+    assert sorted(r.k for r in t.read_appends(s2).collect()) == list(range(10, 20))
