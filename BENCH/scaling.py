@@ -116,8 +116,10 @@ def main():
 
     def srow(key, label):
         a, b = stage_n[key], stage_4n[key]
-        ratio = a / b if b else float("nan")
-        return f"| {label} | {a:.1f} | {b:.1f} | {ratio:.1f}× |"
+        # a delta clamped to 0 is "below the prefix-rerun measurement
+        # floor" (the note under the table) — print that, not nan/inf
+        ratio = f"{a / b:.1f}×" if b else "— (4N delta ≈ 0)"
+        return f"| {label} | {a:.1f} | {b:.1f} | {ratio} |"
 
     stage_rows = "\n".join([
         srow("scan_parse_index_s", "scan + span explode + geo parse + cell index"),
