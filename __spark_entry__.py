@@ -356,13 +356,16 @@ def q_minhash_signatures(spark, sf_dir):
 
 
 def q_lsh_candidate_pairs(spark, sf_dir):
+    # minhash_band_buckets = minhash_signatures + lsh_buckets fused into one
+    # aggregation (same bucket values, one Exchange instead of two —
+    # tests/test_lsh_fused.py pins the equality)
     sh = corpus.char_shingles(_t(spark, sf_dir, "documents"), distinct=False)
-    return corpus.lsh_candidate_pairs(corpus.lsh_buckets(corpus.minhash_signatures(sh)))
+    return corpus.lsh_candidate_pairs(corpus.minhash_band_buckets(sh))
 
 
 def q_ngram_jaccard(spark, sf_dir):
     sh = corpus.char_shingles(_t(spark, sf_dir, "documents"))
-    pairs = corpus.lsh_candidate_pairs(corpus.lsh_buckets(corpus.minhash_signatures(sh)))
+    pairs = corpus.lsh_candidate_pairs(corpus.minhash_band_buckets(sh))
     return (corpus.jaccard_pairs(sh, pairs)
             .select("doc_a", "doc_b", _r(F.col("jaccard"), 6).alias("jaccard")))
 
@@ -425,7 +428,7 @@ def q_neardup_clusters(spark, sf_dir):
     doc_id of the component (iterative min-label propagation; oracle is a
     recursive-CTE transitive closure)."""
     sh = corpus.char_shingles(_t(spark, sf_dir, "documents"), distinct=False)
-    pairs = corpus.lsh_candidate_pairs(corpus.lsh_buckets(corpus.minhash_signatures(sh)))
+    pairs = corpus.lsh_candidate_pairs(corpus.minhash_band_buckets(sh))
     return corpus.neardup_clusters(pairs)
 
 

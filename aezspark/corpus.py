@@ -23,6 +23,24 @@ from pyspark.sql import Column, DataFrame, functions as F
 
 # ---------------------------------------------------------------- dedup
 
+def _spread(df: DataFrame) -> DataFrame:
+    """Parallelize compute-heavy work above an UNSPLITTABLE scan (guide
+    §2.5 'input skew: one huge unsplittable file … repartition immediately
+    after the read'): the correctness corpora ship as single parquet files
+    with ONE row group, so the scan — and every narrow op fused into its
+    stage (explode, md5, partial aggregation) — runs on a single task no
+    matter the split config. When the input's planned parallelism is below
+    the session's shuffle parallelism, a round-robin repartition (a few MB
+    here) moves the md5/explode work onto all cores. At production scale
+    the scan has >= shuffle.partitions splits and this is a no-op — the
+    guard, not the repartition, is the scale story. Deterministic under
+    retries: sort-before-repartition is on by default (SPARK-23207)."""
+    target = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    if df.rdd.getNumPartitions() >= target:
+        return df
+    return df.repartition(target)
+
+
 def exact_dedup(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """Exact dedup: hash-groupBy on md5(text); keep the smallest doc_id as
     canonical, report cluster size. Map-side partial agg handles hot hashes."""
@@ -56,8 +74,7 @@ def char_shingles(docs: DataFrame, text_col: str = "text", k: int = 8,
     # empty array for texts shorter than k instead
     idx = F.when(n >= 1, F.sequence(F.lit(1), n)).otherwise(
         F.array().cast("array<int>"))
-    out = (docs
-           .select(doc_col, text_col)
+    out = (_spread(docs.select(doc_col, text_col))
            .withColumn("i", F.explode(idx))
            .select(doc_col,
                    F.substring(F.col(text_col), F.col("i"), k).alias("shingle")))
@@ -122,6 +139,42 @@ def lsh_buckets(signatures: DataFrame, rows_per_band: int = 2,
                 F.collect_list(F.concat_ws(":", "seed", "sig"))))).alias("bucket")))
 
 
+def minhash_band_buckets(shingles: DataFrame, num_hashes: int = 8,
+                         rows_per_band: int = 2,
+                         doc_col: str = "doc_id") -> DataFrame:
+    """minhash_signatures + lsh_buckets FUSED into one aggregation: the band
+    buckets are computed as projections over the WIDE per-doc signature frame
+    (one groupBy(doc) — the same Exchange minhash_signatures already pays)
+    instead of exploding to (doc, seed, sig) rows and re-aggregating by
+    (doc, band), which costs a SECOND full Exchange keyed (doc, band). Same
+    bucket values bit-for-bit: band b's bucket is md5 over the
+    lexicographically sorted {"seed:sig"} strings of its rows_per_band seeds,
+    exactly lsh_buckets' collect_list+sort_array construction
+    (tests/test_lsh_fused.py pins equality). Output: (doc_col, band, bucket),
+    one row per (doc, band) via a narrow explode — plan shape
+    scan → [Exchange doc] → project → Generate, versus the unfused
+    scan → [Exchange doc] → Generate → [Exchange (doc, band)]."""
+    if num_hashes % rows_per_band != 0:
+        raise ValueError("num_hashes must be a multiple of rows_per_band")
+    coeffs = minhash_coeffs(num_hashes)
+    h = (F.conv(F.substring(F.md5("shingle"), 1, 15), 16, 10).cast("long")
+         % F.lit(MINHASH_P))
+    wide = shingles.groupBy(doc_col).agg(
+        *[F.min((F.lit(a) * h + F.lit(b)) % F.lit(MINHASH_P)).alias(f"_s{s}")
+          for s, (a, b) in enumerate(coeffs)])
+    bands = []
+    for band in range(num_hashes // rows_per_band):
+        seeds = range(band * rows_per_band, (band + 1) * rows_per_band)
+        entries = F.array(*[
+            F.concat_ws(":", F.lit(str(s)), F.col(f"_s{s}")) for s in seeds])
+        bucket = F.md5(F.concat_ws("|", F.sort_array(entries)))
+        bands.append(F.struct(F.lit(band).cast("int").alias("band"),
+                              bucket.alias("bucket")))
+    return (wide.select(doc_col, F.explode(F.array(*bands)).alias("b"))
+            .select(doc_col, F.col("b.band").alias("band"),
+                    F.col("b.bucket").alias("bucket")))
+
+
 def lsh_candidate_pairs(buckets: DataFrame, doc_col: str = "doc_id",
                         max_bucket_size: int | None = 64,
                         observation=None) -> DataFrame:
@@ -165,7 +218,13 @@ def lsh_candidate_pairs(buckets: DataFrame, doc_col: str = "doc_id",
                 F.sum(F.when(F.col("_bsz") > max_bucket_size, F.col("_bsz"))
                       .otherwise(F.lit(0)).cast("long"))
                 .alias("lsh_dropped_members")).localCheckpoint()
-        sizes = (sizes.filter(F.col("_bsz") <= max_bucket_size)
+        # _bsz >= 2: a singleton (band, bucket) group cannot produce a pair,
+        # so dropping it here cannot change the result — it only keeps the
+        # (majority, on a mostly-unique corpus) single-member buckets out of
+        # the self-join's shuffle and the pair-distinct (guide §2.3 "shuffle
+        # fewer bytes"). The guard cap is unchanged.
+        sizes = (sizes.filter((F.col("_bsz") <= max_bucket_size)
+                              & (F.col("_bsz") >= 2))
                  .select("band", "bucket"))
         buckets = buckets.join(sizes, ["band", "bucket"])
     a = buckets.select(F.col(doc_col).alias("doc_a"), "band", "bucket")
@@ -211,14 +270,33 @@ def simhash(docs: DataFrame, text_col: str = "text",
     Hamming distance over the raw bits is unaffected."""
     if not 1 <= bits <= 64:
         raise ValueError(f"simhash: bits must be in [1, 64], got {bits}")
-    tokens = (docs.select("doc_id", F.explode(F.split(F.col(text_col), " ")).alias("tok"))
-              .withColumn("h", F.md5(F.col("tok"))))
+    # the leading ceil(bits/4) hex nibbles of the token md5, decoded ONCE
+    # per token into integer columns (15 hex digits = 60 bits < 2^63, exact
+    # in a signed long; digit 16 — needed only for bits > 60 — rides a
+    # second 1-digit conv). bit j is then a single shiftright+AND on a long
+    # instead of the previous per-bit instr('0123…', substring(h, …))
+    # string probe — the same 64 values from 1/64th the per-row expression
+    # work, and a far smaller generated aggregate (the old form spent its
+    # first bench run compiling the 64 string-probe sums)
+    ndig1 = min(15, (bits + 3) // 4)
+    tokens = (_spread(docs.select("doc_id", text_col))
+              .select("doc_id",
+                      F.explode(F.split(F.col(text_col), " ")).alias("tok"))
+              .withColumn("h", F.md5(F.col("tok")))
+              .withColumn("h1", F.conv(F.substring("h", 1, ndig1), 16, 10)
+                          .cast("long")))
+    if bits > 60:
+        tokens = tokens.withColumn(
+            "h2", F.conv(F.substring("h", 16, 1), 16, 10).cast("long"))
 
     def bit(j: int):
-        pos, shift = 1 + j // 4, 3 - j % 4
-        return F.expr(
-            f"shiftright(instr('0123456789abcdef', substring(h, {pos}, 1)) - 1,"
-            f" {shift}) & 1")
+        # hex digit j//4, bit (3 - j%4) within the digit — identical to the
+        # historical substring/instr decode (digit d sits at shift
+        # 4*(ndig1-1-d) of h1)
+        if j // 4 < ndig1:
+            shift = 4 * (ndig1 - 1 - j // 4) + (3 - j % 4)
+            return F.shiftright(F.col("h1"), shift).bitwiseAND(F.lit(1))
+        return F.shiftright(F.col("h2"), 3 - j % 4).bitwiseAND(F.lit(1))
 
     agg = (tokens.groupBy("doc_id")
            .agg(F.count("*").alias("n"),
@@ -307,7 +385,10 @@ def simhash_pairs(sh: DataFrame, max_hamming: int = 3,
                 F.sum(F.when(F.col("_bsz") > max_bucket_size, F.col("_bsz"))
                       .otherwise(F.lit(0)).cast("long"))
                 .alias("simhash_dropped_members")).localCheckpoint()
-        sizes = (sizes.filter(F.col("_bsz") <= max_bucket_size)
+        # _bsz >= 2: singleton blocks can't pair — same result, smaller
+        # self-join shuffle (see lsh_candidate_pairs)
+        sizes = (sizes.filter((F.col("_bsz") <= max_bucket_size)
+                              & (F.col("_bsz") >= 2))
                  .select("block_idx", "block_val"))
         b = b.join(sizes, ["block_idx", "block_val"])
     # renamed projections (not .alias() self-join): an Observation's

@@ -63,6 +63,19 @@ def get_spark(app: str = "aezspark", master: str | None = None,
     # default.parallelism = total executor cores.
     b = b.config("spark.sql.files.minPartitionNum",
                  str(shuffle_partitions * 3))
+    # openCostInBytes FLOORS the split size: maxSplitBytes =
+    # min(maxPartitionBytes, max(openCostInBytes, totalBytes/minPartitionNum)).
+    # The 4 MB default means any scan totalling under 4 MB × minPartitionNum
+    # ignores the 3-waves rule above and degenerates to a handful of tasks —
+    # measured: the 14 MB bench corpus scanned as 4 splits and a 2.4 MB cell
+    # table as ONE split on a 32-core local master, serializing every
+    # Arrow-kernel and decode stage above those scans. 64 KB keeps the floor
+    # (tiny files still pack) while letting minPartitionNum size small scans;
+    # at cluster scale totalBytes/minPartitionNum >> 4 MB, so this knob is
+    # inert there — it is NOT a local-only tuning, it just stops the open-cost
+    # heuristic from overriding the wave rule on small inputs.
+    b = b.config("spark.sql.files.openCostInBytes",
+                 os.environ.get("AEZSPARK_OPEN_COST_BYTES", "65536"))
     mpb = os.environ.get("AEZSPARK_MAX_PARTITION_BYTES")
     if mpb:
         b = b.config("spark.sql.files.maxPartitionBytes", mpb)
