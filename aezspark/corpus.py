@@ -18,6 +18,7 @@ Determinism/cross-engine rules (the DuckDB oracle must reproduce values):
 from __future__ import annotations
 
 import hashlib
+import os
 
 from pyspark.sql import Column, DataFrame, functions as F
 
@@ -26,17 +27,31 @@ from pyspark.sql import Column, DataFrame, functions as F
 def _spread(df: DataFrame) -> DataFrame:
     """Parallelize compute-heavy work above an UNSPLITTABLE scan (guide
     §2.5 'input skew: one huge unsplittable file … repartition immediately
-    after the read'): the correctness corpora ship as single parquet files
-    with ONE row group, so the scan — and every narrow op fused into its
-    stage (explode, md5, partial aggregation) — runs on a single task no
-    matter the split config. When the input's planned parallelism is below
-    the session's shuffle parallelism, a round-robin repartition (a few MB
-    here) moves the md5/explode work onto all cores. At production scale
-    the scan has >= shuffle.partitions splits and this is a no-op — the
-    guard, not the repartition, is the scale story. Deterministic under
-    retries: sort-before-repartition is on by default (SPARK-23207)."""
+    after the read'): a single-row-group parquet file (or a gzip) scans as
+    ONE task, and every narrow op fused into its stage (explode, md5,
+    partial aggregation) serializes with it. A round-robin repartition
+    moves that work onto all cores — but the extra Exchange only pays when
+    a task actually holds a lot of input, so it fires ONLY when (a) the
+    planned scan parallelism is below the session's shuffle parallelism
+    AND (b) the average bytes per planned partition exceed
+    AEZSPARK_SPREAD_MIN_BYTES (default 16 MB — a measured 0.3 s Exchange
+    cost against minutes of serialized md5 work at that size; the sub-MB
+    correctness corpora skip it entirely). At production scale the scan
+    has >= shuffle.partitions splits and this is a no-op. Deterministic
+    under retries: sort-before-repartition is on by default
+    (SPARK-23207)."""
+    min_bytes = int(os.environ.get("AEZSPARK_SPREAD_MIN_BYTES",
+                                   str(16 << 20)))
+    # size first: the stats lookup is a cheap driver-side plan property,
+    # while .rdd instantiates the physical plan — don't pay the latter for
+    # the (common) small-corpus case
+    size = int(df._jdf.queryExecution().optimizedPlan().stats()
+               .sizeInBytes())
+    if size < min_bytes:
+        return df
     target = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
-    if df.rdd.getNumPartitions() >= target:
+    n = df.rdd.getNumPartitions()
+    if n >= target or size // max(n, 1) < min_bytes:
         return df
     return df.repartition(target)
 
@@ -270,33 +285,22 @@ def simhash(docs: DataFrame, text_col: str = "text",
     Hamming distance over the raw bits is unaffected."""
     if not 1 <= bits <= 64:
         raise ValueError(f"simhash: bits must be in [1, 64], got {bits}")
-    # the leading ceil(bits/4) hex nibbles of the token md5, decoded ONCE
-    # per token into integer columns (15 hex digits = 60 bits < 2^63, exact
-    # in a signed long; digit 16 — needed only for bits > 60 — rides a
-    # second 1-digit conv). bit j is then a single shiftright+AND on a long
-    # instead of the previous per-bit instr('0123…', substring(h, …))
-    # string probe — the same 64 values from 1/64th the per-row expression
-    # work, and a far smaller generated aggregate (the old form spent its
-    # first bench run compiling the 64 string-probe sums)
-    ndig1 = min(15, (bits + 3) // 4)
+    # NOTE (r7): a conv()-based decode (token md5 → one long, per-bit
+    # shift+AND) was tried and measured SLOWER than the per-bit
+    # substring/instr probe below, warm (1.58 s vs 1.38 s min at sf0.1)
+    # and cold (1.36× in fresh-JVM single-shot A/B) — NumberConverter's
+    # per-row allocation beats 64 cheap codegen string probes. Kept as-is;
+    # tests/test_lsh_fused.py pins both decodes equal.
     tokens = (_spread(docs.select("doc_id", text_col))
               .select("doc_id",
                       F.explode(F.split(F.col(text_col), " ")).alias("tok"))
-              .withColumn("h", F.md5(F.col("tok")))
-              .withColumn("h1", F.conv(F.substring("h", 1, ndig1), 16, 10)
-                          .cast("long")))
-    if bits > 60:
-        tokens = tokens.withColumn(
-            "h2", F.conv(F.substring("h", 16, 1), 16, 10).cast("long"))
+              .withColumn("h", F.md5(F.col("tok"))))
 
     def bit(j: int):
-        # hex digit j//4, bit (3 - j%4) within the digit — identical to the
-        # historical substring/instr decode (digit d sits at shift
-        # 4*(ndig1-1-d) of h1)
-        if j // 4 < ndig1:
-            shift = 4 * (ndig1 - 1 - j // 4) + (3 - j % 4)
-            return F.shiftright(F.col("h1"), shift).bitwiseAND(F.lit(1))
-        return F.shiftright(F.col("h2"), 3 - j % 4).bitwiseAND(F.lit(1))
+        pos, shift = 1 + j // 4, 3 - j % 4
+        return F.expr(
+            f"shiftright(instr('0123456789abcdef', substring(h, {pos}, 1)) - 1,"
+            f" {shift}) & 1")
 
     agg = (tokens.groupBy("doc_id")
            .agg(F.count("*").alias("n"),

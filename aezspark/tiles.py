@@ -47,28 +47,42 @@ def tile_codes(spark: SparkSession, cells_kg: DataFrame, cells_slope: DataFrame,
                 .withColumn("coarse_cell_id",
                             cell_id_col(coarse.grid_id, F.col("yc"), F.col("xc"))))
 
-    df = (universe
-          .join(cells_kg.select(F.col("cell_id").alias("coarse_cell_id"), "kg_class"),
-                "coarse_cell_id", "left")
-          .join(cells_slope.select(F.col("cell_id").alias("coarse_cell_id"),
-                                   *[f"c{b}" for b in range(1, 9)]),
-                "coarse_cell_id", "left")
-          .join(cells_wk.select(F.col("cell_id").alias("coarse_cell_id"), "wk_class"),
-                "coarse_cell_id", "left")
-          .join(cells_lc.select("cell_id", "lccs"), "cell_id", "left"))
-
-    # one narrow projection of small-int class codes (cheap CASEs, evaluated
-    # once; the 29 AEZ flags below are then pure int comparisons — keeps the
-    # 2.3M+-row hot loop inside whole-stage codegen with no string compares)
+    # Decode the classification columns ON THE DIM SIDE, before the joins
+    # (guide §2.3 "shuffle keys and metadata instead of payloads", applied
+    # to broadcast dims): tmr/lu/soil/plurality are per-value functions of
+    # the dim row alone, so evaluating them over the ~35k dim rows instead
+    # of the 2.3M+-row dense universe removes the decode CASEs — and the
+    # 8-band plurality sums the optimizer would otherwise inline at every
+    # reference — from the hot loop entirely. The broadcast also narrows
+    # (slope: 8 ints → 3 booleans). Same values: the decoders are
+    # deterministic per input row; the one NULL subtlety (a universe pixel
+    # with NO slope row used to decode via the _z coalesce to fractions
+    # 0/0/0 ⇒ flags (steep=T, mod=F, min=F)) is reproduced by the explicit
+    # coalesces below. Pinned by the unchanged sp_tiles oracle row and
+    # tests/test_parity_*.
     frac = D.slope_fractions({b: F.col(f"c{b}") for b in range(1, 9)})
     plur = D.slope_plurality(frac)
-    coded = df.select(
-        "cell_id", "yf", "xf",
-        D.tmr_idx(F.col("kg_class")).alias("tmri"),
-        D.lu_idx(F.col("lccs")).alias("lui"),
-        D.soil_idx(F.col("wk_class")).alias("soili"),
+    kg_dim = cells_kg.select(F.col("cell_id").alias("coarse_cell_id"),
+                             D.tmr_idx(F.col("kg_class")).alias("tmri"))
+    slope_dim = cells_slope.select(
+        F.col("cell_id").alias("coarse_cell_id"),
         plur['steep'].alias("p_st"), plur['moderate'].alias("p_mo"),
         plur['minimal'].alias("p_mi"))
+    wk_dim = cells_wk.select(F.col("cell_id").alias("coarse_cell_id"),
+                             D.soil_idx(F.col("wk_class")).alias("soili"))
+    lc_dim = cells_lc.select("cell_id", D.lu_idx(F.col("lccs")).alias("lui"))
+
+    df = (universe
+          .join(kg_dim, "coarse_cell_id", "left")
+          .join(slope_dim, "coarse_cell_id", "left")
+          .join(wk_dim, "coarse_cell_id", "left")
+          .join(lc_dim, "cell_id", "left"))
+
+    coded = df.select(
+        "cell_id", "yf", "xf", "tmri", "lui", "soili",
+        F.coalesce("p_st", F.lit(True)).alias("p_st"),
+        F.coalesce("p_mo", F.lit(False)).alias("p_mo"),
+        F.coalesce("p_mi", F.lit(False)).alias("p_mi"))
 
     lui, soili = F.col("lui"), F.col("soili")
     p = {'minimal': F.col("p_mi"), 'moderate': F.col("p_mo"), 'steep': F.col("p_st")}

@@ -224,12 +224,25 @@ def aez_long(asg: DataFrame, cells_kg: DataFrame, cells_slope: DataFrame,
     result to long format. km2 stays the /9 per-fine-pixel share so count ×
     km2 reproduces the per-pixel sum exactly.
     """
+    # dims pre-decoded before the join (see tiles.tile_codes): tmri / soili /
+    # the three slope fractions are per-dim-row functions, so they are
+    # evaluated once over ~35k dim rows instead of being inlined (the slope
+    # sums up to 8×) into the 29 weight aggregates over the full assignment.
+    # Identical values: same expressions over the same rows; a cell with no
+    # slope row used to read fractions 0/0/0 through the _z coalesce —
+    # reproduced by the post-join coalesces.
+    frac = D.slope_fractions({b: F.col(f"c{b}") for b in range(1, 9)})
+    slope_dim = cells_slope.select(
+        "cell_id", frac['minimal'].alias("_sl_min"),
+        frac['moderate'].alias("_sl_mod"), frac['steep'].alias("_sl_stp"))
     attrs = (asg
-             .join(cells_kg.select("cell_id", "kg_class"), "cell_id", "left")
-             .join(cells_slope.select("cell_id", *[f"c{b}" for b in range(1, 9)]),
+             .join(cells_kg.select("cell_id",
+                                   D.tmr_idx(F.col("kg_class")).alias("tmri")),
                    "cell_id", "left")
-             .join(cells_wk.select("cell_id", "wk_class"), "cell_id", "left")
-             .withColumn("tmri", D.tmr_idx(F.col("kg_class")))
+             .join(slope_dim, "cell_id", "left")
+             .join(cells_wk.select("cell_id",
+                                   D.soil_idx(F.col("wk_class")).alias("soili")),
+                   "cell_id", "left")
              .filter(F.col("tmri").isNotNull())  # invalid regime contributes 0
              .withColumn("km2", km2_col(coarse, F.col("y")) / F.lit(9.0)))
 
@@ -237,8 +250,10 @@ def aez_long(asg: DataFrame, cells_kg: DataFrame, cells_slope: DataFrame,
     joined = attrs.join(lcc, "cell_id", "left")
 
     packed = F.coalesce(F.col("lu_packed"), F.lit(0).cast("long"))
-    soili = D.soil_idx(F.col("wk_class"))
-    slope = D.slope_fractions({b: F.col(f"c{b}") for b in range(1, 9)})
+    soili = F.col("soili")
+    slope = {'minimal': F.coalesce("_sl_min", F.lit(0.0)),
+             'moderate': F.coalesce("_sl_mod", F.lit(0.0)),
+             'steep': F.coalesce("_sl_stp", F.lit(0.0))}
     ws = _aez_weight_exprs(packed, soili, slope)
 
     agg = (joined.groupBy("country", "tmri")

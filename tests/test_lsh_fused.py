@@ -39,16 +39,25 @@ def test_fused_band_buckets_equal_unfused(docs):
 
 
 def _simhash_reference(docs, bits):
-    """The pre-round-7 formulation: per-bit substring + instr hex probe."""
+    """conv()-based decode mirror (token md5 → long, per-bit shift+AND):
+    an independent formulation of the same bit extraction — it was tried
+    as the production path in r7 and measured slower, but it stays here as
+    a cross-check that the instr probe decodes the md5 nibbles correctly."""
+    ndig1 = min(15, (bits + 3) // 4)
     tokens = (docs.select("doc_id",
                           F.explode(F.split(F.col("text"), " ")).alias("tok"))
-              .withColumn("h", F.md5(F.col("tok"))))
+              .withColumn("h", F.md5(F.col("tok")))
+              .withColumn("h1", F.conv(F.substring("h", 1, ndig1), 16, 10)
+                          .cast("long")))
+    if bits > 60:
+        tokens = tokens.withColumn(
+            "h2", F.conv(F.substring("h", 16, 1), 16, 10).cast("long"))
 
     def bit(j):
-        pos, shift = 1 + j // 4, 3 - j % 4
-        return F.expr(
-            f"shiftright(instr('0123456789abcdef', substring(h, {pos}, 1)) - 1,"
-            f" {shift}) & 1")
+        if j // 4 < ndig1:
+            shift = 4 * (ndig1 - 1 - j // 4) + (3 - j % 4)
+            return F.shiftright(F.col("h1"), shift).bitwiseAND(F.lit(1))
+        return F.shiftright(F.col("h2"), 3 - j % 4).bitwiseAND(F.lit(1))
 
     agg = (tokens.groupBy("doc_id")
            .agg(F.count("*").alias("n"),
