@@ -25,11 +25,15 @@ class World:
         self.spark = spark
         self.fx_dir = fx_dir or genmod.ensure_fixtures()
         self.coarse, self.fine = genmod.load_grids(self.fx_dir)
-        self.boundaries = sources.read_boundaries(spark, self.fx_dir)
-        self.index = sources.boundary_index(self.boundaries)
+        # boundaries DF: lazily constructed (it backs the countries/regions
+        # dims); the broadcast index itself is built from a driver-side
+        # pyarrow read — same rows, no Spark actions in World construction
+        # (which sits inside the flagship's timed first run)
+        self._boundaries: DataFrame | None = None
+        self.index = sources.boundary_index_from_path(self.fx_dir)
         self.bidx = broadcast_index(spark, self.index)
-        self.countries = sources.countries_dim(spark, self.boundaries).cache()
-        self.regions_dim = sources.regions_dim(spark, self.boundaries)
+        self._countries: DataFrame | None = None
+        self._regions_dim: DataFrame | None = None
         self._asg: DataFrame | None = None
         self._asg_fine: DataFrame | None = None
         self._docs_cache: dict = {}
@@ -37,6 +41,25 @@ class World:
 
     def cells(self, name: str) -> DataFrame:
         return sources.read_cells(self.spark, self.fx_dir, name)
+
+    @property
+    def boundaries(self) -> DataFrame:
+        if self._boundaries is None:
+            self._boundaries = sources.read_boundaries(self.spark, self.fx_dir)
+        return self._boundaries
+
+    @property
+    def countries(self) -> DataFrame:
+        if self._countries is None:
+            self._countries = sources.countries_dim(
+                self.spark, self.boundaries).cache()
+        return self._countries
+
+    @property
+    def regions_dim(self) -> DataFrame:
+        if self._regions_dim is None:
+            self._regions_dim = sources.regions_dim(self.spark, self.boundaries)
+        return self._regions_dim
 
     @property
     def asg(self) -> DataFrame:

@@ -108,6 +108,38 @@ def boundary_index(boundaries_df: DataFrame) -> BoundaryIndex:
     return BoundaryIndex(boundaries_to_polygons(boundaries_df))
 
 
+def boundary_index_from_path(fx_dir: str) -> BoundaryIndex:
+    """Build the broadcast boundary index with a DRIVER-SIDE pyarrow read of
+    the boundaries parquet — the dim is a handful of rows, and routing its
+    collect through a Spark job cost two fixed-latency actions (~1 s of the
+    flagship's timed first run: read+plan, then collect) for data the driver
+    reads in milliseconds. Same rows, same normalization (null countries
+    dropped, feature_id sort) as boundaries_to_polygons — pinned by
+    tests/test_geometry_perf.py::test_pyarrow_index_equals_spark_index. The
+    Spark-side boundaries TABLE (countries/regions dims, snapshot-table
+    import) is unchanged; only the index build skips the executor round trip."""
+    import pyarrow.parquet as pq
+
+    tbl = pq.read_table(os.path.join(fx_dir, "boundaries.parquet"),
+                        columns=["feature_id", "country", "ring_lats",
+                                 "ring_lons", "hole_lats", "hole_lons"])
+    polys = []
+    for r in sorted(tbl.to_pylist(), key=lambda r: r["feature_id"]):
+        if r["country"] is None:
+            continue
+        polys.append(Polygon(
+            feature_id=int(r["feature_id"]),
+            country=r["country"],
+            ring_lons=np.array(r["ring_lons"], dtype=np.float64),
+            ring_lats=np.array(r["ring_lats"], dtype=np.float64),
+            hole_lons=[np.array(h, dtype=np.float64)
+                       for h in (r["hole_lons"] or [])],
+            hole_lats=[np.array(h, dtype=np.float64)
+                       for h in (r["hole_lats"] or [])],
+        ))
+    return BoundaryIndex(polys)
+
+
 def countries_dim(spark: SparkSession, boundaries_df: DataFrame) -> DataFrame:
     """Distinct post-normalization countries (the pre-seeded all-zero rows of
     the reference accumulator, extract_country_data.py:227-228)."""

@@ -95,3 +95,23 @@ def test_singleton_prefilter_simhash_pairs(docs):
     baseline = corpus.simhash_pairs(sim, max_hamming=3, max_bucket_size=None)
     assert _rows(guarded, ["doc_a", "doc_b", "hamming"]) == \
         _rows(baseline, ["doc_a", "doc_b", "hamming"])
+
+
+def test_pyarrow_index_equals_spark_index(spark, fx_dir):
+    """World's driver-side pyarrow boundary index must equal the Spark-read
+    index polygon-for-polygon (r7: index build moved off the Spark action
+    path)."""
+    from aezspark import sources
+
+    a = sources.boundary_index_from_path(fx_dir)
+    b = sources.boundary_index(sources.read_boundaries(spark, fx_dir))
+    assert len(a.polygons) == len(b.polygons)
+    for pa_, pb in zip(a.polygons, b.polygons):
+        assert pa_.feature_id == pb.feature_id
+        assert pa_.country == pb.country
+        import numpy as np
+        assert np.array_equal(pa_.ring_lons, pb.ring_lons)
+        assert np.array_equal(pa_.ring_lats, pb.ring_lats)
+        assert len(pa_.hole_lons) == len(pb.hole_lons)
+        for ha, hb in zip(pa_.hole_lons, pb.hole_lons):
+            assert np.array_equal(ha, hb)
