@@ -222,7 +222,27 @@ def lsh_candidate_pairs(buckets: DataFrame, doc_col: str = "doc_id",
     (obs.get then throws; seen on Spark 4.1). The cost is one extra pass
     over the bucket table, paid only when telemetry is requested; the
     checkpointed (tiny) size table is reused by the join."""
-    if max_bucket_size is not None:
+    if max_bucket_size is not None and observation is None:
+        # guard via a window count over the SAME (band, bucket) partitioning
+        # the self-join needs: one exchange serves the size filter and the
+        # join (the aggregate+join formulation below paid a separate sizes
+        # aggregation and an extra join). Kept only for the no-telemetry
+        # path — an Observation needs the eager sizes table (see below).
+        from pyspark.sql import Window as W
+
+        bsz = F.count("*").over(W.partitionBy("band", "bucket"))
+        # merge hint: the self-join below must NOT pick a broadcast build —
+        # a BroadcastExchange side cannot reuse the other side's shuffle, so
+        # the whole shingle→minhash subtree would execute twice (observed:
+        # two full duplicate scan subtrees in the plan). As a sort-merge
+        # join both sides ReuseExchange the single (band, bucket) shuffle
+        # that the window already partitioned AND sorted — zero extra
+        # exchanges, zero extra sorts, one map-side pass.
+        buckets = (buckets.withColumn("_bsz", bsz)
+                   .filter((F.col("_bsz") <= max_bucket_size)
+                           & (F.col("_bsz") >= 2))
+                   .drop("_bsz").hint("merge"))
+    elif max_bucket_size is not None:
         sizes = (buckets.groupBy("band", "bucket")
                  .agg(F.count("*").alias("_bsz")))
         if observation is not None:
@@ -378,7 +398,21 @@ def simhash_pairs(sh: DataFrame, max_hamming: int = 3,
         off += w
     b = sh.select("doc_id", "simhash",
                   F.posexplode(F.array(*blocks)).alias("block_idx", "block_val"))
-    if max_bucket_size is not None:
+    if max_bucket_size is not None and observation is None:
+        # window-count guard on the join's own partitioning — no separate
+        # sizes aggregation + join (see lsh_candidate_pairs)
+        from pyspark.sql import Window as W
+
+        bsz = F.count("*").over(W.partitionBy("block_idx", "block_val"))
+        # merge hint: keep the self-join off the broadcast path so both
+        # sides ReuseExchange the window's (block_idx, block_val) shuffle
+        # instead of re-executing the fingerprint subtree (see
+        # lsh_candidate_pairs)
+        b = (b.withColumn("_bsz", bsz)
+             .filter((F.col("_bsz") <= max_bucket_size)
+                     & (F.col("_bsz") >= 2))
+             .drop("_bsz").hint("merge"))
+    elif max_bucket_size is not None:
         sizes = (b.groupBy("block_idx", "block_val")
                  .agg(F.count("*").alias("_bsz")))
         if observation is not None:

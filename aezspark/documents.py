@@ -78,7 +78,15 @@ def assign_documents(docs: DataFrame, index, index_res: int = 6,
     (geo span × containing feature) plus one kNN row per unmatched span.
     """
     pts = indexed_points(docs, index_res)
-    return assign_points(pts, index, knn_fallback=knn_fallback)
+    # project the kernel payload to what downstream consumers read
+    # (doc_id, span_idx for identity; lat/lon for with_aez's tile key):
+    # mapInPandas ships its ENTIRE input schema across the Arrow boundary
+    # both ways, so offset/index_cell would otherwise ride every batch and
+    # the SMJ shuffle for nothing (guide §4.1). index_cell remains
+    # available via indexed_points for partition-keying consumers
+    # (jobs/run_aez.py builds it there).
+    return assign_points(pts, index, knn_fallback=knn_fallback,
+                         project=["doc_id", "span_idx", "lat", "lon"])
 
 
 def assign_zone_counts(docs: DataFrame, index, tile_lookup,

@@ -636,11 +636,33 @@ def tile_lookup_broadcast(spark: SparkSession, tiles_df: DataFrame):
     CEILING: the collect is driver-memory-bound — right up to ~10⁸ land
     cells (a couple of GB). At the reference's full 300 m grid (~2.4 B land
     cells) use tile_shard_lookup instead: same fused kernel, same answers,
-    memory bounded by a per-worker LRU over the clustered tile sink."""
-    pdf = (tiles_df.filter(F.col("aez_code") != 255)
-           .select("cell_id", "aez_code").toPandas())
-    cells = pdf["cell_id"].to_numpy(dtype=np.int64)
-    codes = pdf["aez_code"].to_numpy(dtype=np.int32)
+    memory bounded by a per-worker LRU over the clustered tile sink.
+
+    Fast path (r7): when `tiles_df` is a PLAIN parquet scan (a static tile
+    sink, the common case — the computed tile_codes plan still takes the
+    Spark route below), the dim is read driver-side with pyarrow instead
+    of a Spark collect job: same files, same filter/projection, measured
+    1.5 s → ~0.2 s of the flagship's timed first run. The broadcast that
+    ships to executors is identical either way (pinned by
+    tests/test_tile_lookup.py::test_broadcast_fast_path_parity)."""
+    plan_cls = (tiles_df._jdf.queryExecution().optimizedPlan()
+                .getClass().getSimpleName())
+    files = tiles_df.inputFiles() if plan_cls == "LogicalRelation" else []
+    if files and all(f.endswith(".parquet") for f in files):
+        import pyarrow.dataset as pads
+
+        paths = [f[len("file:"):] if f.startswith("file:") else f
+                 for f in files]
+        tbl = (pads.dataset(sorted(paths), format="parquet")
+               .to_table(columns=["cell_id", "aez_code"],
+                         filter=pads.field("aez_code") != 255))
+        cells = tbl.column("cell_id").to_numpy().astype(np.int64, copy=False)
+        codes = tbl.column("aez_code").to_numpy().astype(np.int32, copy=False)
+    else:
+        pdf = (tiles_df.filter(F.col("aez_code") != 255)
+               .select("cell_id", "aez_code").toPandas())
+        cells = pdf["cell_id"].to_numpy(dtype=np.int64)
+        codes = pdf["aez_code"].to_numpy(dtype=np.int32)
     order = np.argsort(cells)
     return spark.sparkContext.broadcast((cells[order], codes[order]))
 

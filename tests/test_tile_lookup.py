@@ -110,3 +110,24 @@ def test_shard_lookup_refuses_wrong_geometry(world, tmp_path):
 
     with pytest.raises(ValueError, match="tile geometry mismatch"):
         _shard_lookup(world, tmp_path, tile_px=64)
+
+
+def test_broadcast_fast_path_parity(spark, world, tmp_path):
+    """The pyarrow fast path of tile_lookup_broadcast (plain parquet scan
+    input) must broadcast exactly the arrays the Spark collect path builds
+    (r7: the driver-side read replaced a 1.5 s collect job in the
+    flagship's timed first run)."""
+    import numpy as np
+
+    from aezspark.joins import tile_lookup_broadcast
+
+    tiles = world.tiles()
+    path = str(tmp_path / "tiles_sink_parity")
+    tiles.write.mode("overwrite").parquet(path)
+
+    slow = tile_lookup_broadcast(spark, tiles)           # computed plan
+    fast = tile_lookup_broadcast(spark, spark.read.parquet(path))
+    cs, vs = slow.value
+    cf, vf = fast.value
+    assert np.array_equal(cs, cf)
+    assert np.array_equal(vs, vf)
