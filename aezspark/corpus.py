@@ -24,7 +24,7 @@ from pyspark.sql import Column, DataFrame, functions as F
 
 # ---------------------------------------------------------------- dedup
 
-def _spread(df: DataFrame) -> DataFrame:
+def _spread(df: DataFrame, min_bytes: int | None = None) -> DataFrame:
     """Parallelize compute-heavy work above an UNSPLITTABLE scan (guide
     §2.5 'input skew: one huge unsplittable file … repartition immediately
     after the read'): a single-row-group parquet file (or a gzip) scans as
@@ -40,8 +40,9 @@ def _spread(df: DataFrame) -> DataFrame:
     has >= shuffle.partitions splits and this is a no-op. Deterministic
     under retries: sort-before-repartition is on by default
     (SPARK-23207)."""
-    min_bytes = int(os.environ.get("AEZSPARK_SPREAD_MIN_BYTES",
-                                   str(16 << 20)))
+    if min_bytes is None:
+        min_bytes = int(os.environ.get("AEZSPARK_SPREAD_MIN_BYTES",
+                                       str(16 << 20)))
     # size first: the stats lookup is a cheap driver-side plan property,
     # while .rdd instantiates the physical plan — don't pay the latter for
     # the (common) small-corpus case
@@ -89,7 +90,11 @@ def char_shingles(docs: DataFrame, text_col: str = "text", k: int = 8,
     # empty array for texts shorter than k instead
     idx = F.when(n >= 1, F.sequence(F.lit(1), n)).otherwise(
         F.array().cast("array<int>"))
-    out = (_spread(docs.select(doc_col, text_col))
+    # lower spread floor than the default: each input byte fans out into ~k
+    # shingle bytes plus an md5, so even a sub-MB single-task scan carries
+    # ~seconds of serialized digest work (measured 0.5 s win at a 0.6 MB /
+    # 565k-shingle corpus; the exchange itself costs ~0.3 s)
+    out = (_spread(docs.select(doc_col, text_col), min_bytes=256 << 10)
            .withColumn("i", F.explode(idx))
            .select(doc_col,
                    F.substring(F.col(text_col), F.col("i"), k).alias("shingle")))

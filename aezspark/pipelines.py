@@ -51,8 +51,14 @@ class World:
     @property
     def countries(self) -> DataFrame:
         if self._countries is None:
-            self._countries = sources.countries_dim(
-                self.spark, self.boundaries).cache()
+            # LocalRelation from the driver-side boundary index: the same
+            # post-normalization distinct-country set countries_dim computes
+            # (boundaries_to_polygons and countries_dim apply the identical
+            # null-country drop), without a boundaries scan + 2-phase
+            # distinct in front of every zonal query's seed_zeros
+            vals = sorted({p.country for p in self.index.polygons})
+            self._countries = self.spark.createDataFrame(
+                [(c,) for c in vals], "country STRING")
         return self._countries
 
     @property

@@ -115,3 +115,14 @@ def test_pyarrow_index_equals_spark_index(spark, fx_dir):
         assert len(pa_.hole_lons) == len(pb.hole_lons)
         for ha, hb in zip(pa_.hole_lons, pb.hole_lons):
             assert np.array_equal(ha, hb)
+
+
+def test_world_countries_equals_countries_dim(spark, world, fx_dir):
+    """World.countries (LocalRelation from the pyarrow index) must equal the
+    Spark-side countries_dim over the boundaries table (r7)."""
+    from aezspark import sources
+
+    got = sorted(r["country"] for r in world.countries.collect())
+    exp = sorted(r["country"] for r in sources.countries_dim(
+        spark, sources.read_boundaries(spark, fx_dir)).collect())
+    assert got == exp

@@ -16,7 +16,12 @@ def _write_drops(world, in_dir, n_drops=3):
     docs = world.documents()
     os.makedirs(in_dir, exist_ok=True)
     for i in range(n_drops):
+        # coalesce(1): each drop must be exactly ONE file — the expiry test
+        # counts stream batches (maxFilesPerTrigger=1), and the scan's split
+        # count is a session tuning detail (r7 lowered the split-size floor,
+        # which made un-coalesced writes emit one part per split)
         (docs.filter(F.pmod(F.xxhash64("doc_id"), n_drops) == i)
+         .coalesce(1)
          .write.mode("overwrite").parquet(os.path.join(in_dir, f"drop_{i}.parquet")))
     # file source wants files directly under the dir
     for i in range(n_drops):
