@@ -51,21 +51,40 @@ def build_assignment(spark: SparkSession, grid: GridSpec,
     mapInPandas PIP filter. No driver loops over cells; scales with
     Σ bbox areas, not features × grid.
     """
-    rows = []
+    # Work distribution WITHOUT an Exchange (r7): the driver already emits
+    # per-feature bbox ranges; splitting each feature's y-range into
+    # bbox-area-proportional chunks (targeting ~3 chunks/core overall)
+    # makes the tiny dim itself the parallelism unit — createDataFrame
+    # spreads its rows across defaultParallelism slices, so the explode +
+    # PIP kernel stage starts balanced with no repartition (the previous
+    # plan paid a (poly_pos, y) hash Exchange for the same balance).
+    # Driver cost stays O(features × chunks), never O(cells).
+    bboxes = []
     for pos, poly in enumerate(index.polygons):
         lat_min, lat_max, lon_min, lon_max = poly.bbox
         y0, x0 = grid.lonlat_to_yx(lon_min, lat_max)
         y1, x1 = grid.lonlat_to_yx(lon_max, lat_min)
-        rows.append((pos, poly.feature_id, poly.country,
-                     int(y0), int(y1), int(x0), int(x1)))
+        bboxes.append((pos, poly.feature_id, poly.country,
+                       int(y0), int(y1), int(x0), int(x1)))
+    total_area = sum((y1 - y0 + 1) * (x1 - x0 + 1)
+                     for _p, _f, _c, y0, y1, x0, x1 in bboxes) or 1
+    target = int(spark.conf.get("spark.sql.shuffle.partitions")) * 3
+    rows = []
+    for pos, fid, country, y0, y1, x0, x1 in bboxes:
+        area = (y1 - y0 + 1) * (x1 - x0 + 1)
+        n_chunks = max(1, min(y1 - y0 + 1,
+                              round(target * area / total_area)))
+        span = (y1 - y0 + 1) / n_chunks
+        for k in range(n_chunks):
+            ya = y0 + int(k * span)
+            yb = y0 + int((k + 1) * span) - 1 if k < n_chunks - 1 else y1
+            rows.append((pos, fid, country, ya, yb, x0, x1))
     dim = spark.createDataFrame(
         rows, "poly_pos INT, feature_id INT, country STRING, "
               "y0 INT, y1 INT, x0 INT, x1 INT")
 
     cand = (dim
             .withColumn("y", F.explode(F.sequence("y0", "y1")))
-            .repartition(int(spark.conf.get("spark.sql.shuffle.partitions")),
-                         "poly_pos", "y")
             .withColumn("x", F.explode(F.sequence("x0", "x1")))
             .select("poly_pos", "feature_id", "country", "y", "x")
             .withColumn("lat", F.lit(grid.lat_max)

@@ -49,6 +49,13 @@ class World:
         return self._boundaries
 
     @property
+    def countries_list(self) -> list:
+        """Driver-side distinct-country list (same normalization as
+        countries_dim) — the zonal seed grids are built from this literal,
+        skipping the crossJoin subtree entirely."""
+        return sorted({p.country for p in self.index.polygons})
+
+    @property
     def countries(self) -> DataFrame:
         if self._countries is None:
             # LocalRelation from the driver-side boundary index: the same
@@ -57,8 +64,13 @@ class World:
             # null-country drop), without a boundaries scan + 2-phase
             # distinct in front of every zonal query's seed_zeros
             vals = sorted({p.country for p in self.index.polygons})
+            # coalesce(1): createDataFrame parallelizes even 16 rows over
+            # defaultParallelism slices, and a multi-slice side multiplies
+            # the seed_zeros crossJoin's partition count (measured: the
+            # 2.3k-row seeding grid exploded into ~1000 near-empty tasks,
+            # +12 s on aez)
             self._countries = self.spark.createDataFrame(
-                [(c,) for c in vals], "country STRING")
+                [(c,) for c in vals], "country STRING").coalesce(1)
         return self._countries
 
     @property
@@ -92,23 +104,23 @@ class World:
         """Long-format zonal histogram for one dataset (process_map analogs)."""
         if dataset == "kg":
             return zonal.zonal_kg(self.asg, self.cells("cells_kg"),
-                                  self.coarse, self.countries)
+                                  self.coarse, self.countries_list)
         if dataset == "lc":
             return zonal.zonal_lc(self.asg_fine, self.cells("cells_lc"),
-                                  self.fine, self.countries)
+                                  self.fine, self.countries_list)
         if dataset == "sl":
             return zonal.zonal_slope(self.asg, self.cells("cells_slope"),
-                                     self.coarse, self.countries)
+                                     self.coarse, self.countries_list)
         if dataset == "slfao":
             return zonal.zonal_slope_fao(
                 self.asg, sources.read_slope_fao(self.spark, self.fx_dir),
-                self.coarse, self.countries)
+                self.coarse, self.countries_list)
         if dataset == "wk":
             return zonal.zonal_wk(self.asg, self.cells("cells_wk"),
-                                  self.coarse, self.countries)
+                                  self.coarse, self.countries_list)
         if dataset == "dg":
             return zonal.zonal_dg(self.asg, self.cells("cells_lpd"),
-                                  self.coarse, self.countries)
+                                  self.coarse, self.countries_list)
         raise KeyError(dataset)
 
     def zonal_classes(self, dataset: str) -> list[str]:
@@ -126,12 +138,12 @@ class World:
         return zonal.aez_long(self.asg, self.cells("cells_kg"),
                               self.cells("cells_slope"), self.cells("cells_wk"),
                               self.cells("cells_lc"), self.coarse, self.fine,
-                              self.countries)
+                              self.countries_list)
 
     def degraded56(self) -> DataFrame:
         return zonal.degraded56_long(self.asg, self.cells("cells_lc"),
                                      self.cells("cells_lpd"), self.cells("cells_wk"),
-                                     self.coarse, self.fine, self.countries)
+                                     self.coarse, self.fine, self.countries_list)
 
     def region_rollup(self, long_df: DataFrame, classes: list[str]) -> DataFrame:
         return regionsmod.rollup(long_df, self.regions_dim, classes)

@@ -25,7 +25,7 @@ DEG56_CLASSES = [f"{c}:{s}:{d}" for c in ['forest', 'cropland', 'grassland', 'ba
                  for s in ['good', 'marginal', 'poor', 'verypoor']]
 
 
-def seed_zeros(agg: DataFrame, countries: DataFrame, classes: list[str]) -> DataFrame:
+def seed_zeros(agg: DataFrame, countries, classes: list[str]) -> DataFrame:
     """Pre-seed every (country, class) combination with 0.0 — the reference
     inserts an all-zero row per country on first sight and keeps every class
     column (extract_country_data.py:216,227-228), so zero cells must exist.
@@ -36,8 +36,26 @@ def seed_zeros(agg: DataFrame, countries: DataFrame, classes: list[str]) -> Data
     (df.loc[admin, typ] raises), so a decoder regression must not pass
     parity by dropping rows."""
     spark = agg.sparkSession
-    cls = spark.createDataFrame([(c,) for c in classes], "class STRING")
-    grid_dim = countries.crossJoin(cls).withColumn("_expected", F.lit(True))
+    if isinstance(countries, (list, tuple)):
+        # driver-known country set (World passes the boundary-index list):
+        # the whole seeding grid is ONE literal single-partition relation —
+        # no crossJoin subtree, no broadcast-build jobs in front of the
+        # full-outer join (r7: the crossJoin of two parallelized tiny dims
+        # cost several single-task AQE stage jobs per zonal query)
+        grid_dim = (spark.createDataFrame(
+            [(c, cl) for c in countries for cl in classes],
+            "country STRING, class STRING").coalesce(1)
+            .withColumn("_expected", F.lit(True)))
+    else:
+        # coalesce(1) both tiny sides: a crossJoin's output partitioning
+        # multiplies its inputs' partition counts, and createDataFrame
+        # spreads even a 145-row literal list over defaultParallelism
+        # slices — the seeding grid is a few thousand rows and belongs in
+        # one task
+        cls = spark.createDataFrame([(c,) for c in classes],
+                                    "class STRING").coalesce(1)
+        grid_dim = (countries.coalesce(1).crossJoin(cls)
+                    .withColumn("_expected", F.lit(True)))
     joined = grid_dim.join(agg, ["country", "class"], "full_outer")
     km2 = (F.when(F.col("_expected").isNotNull(),
                   F.coalesce(F.col("km2"), F.lit(0.0)))
