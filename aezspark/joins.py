@@ -79,9 +79,22 @@ def build_assignment(spark: SparkSession, grid: GridSpec,
             ya = y0 + int(k * span)
             yb = y0 + int((k + 1) * span) - 1 if k < n_chunks - 1 else y1
             rows.append((pos, fid, country, ya, yb, x0, x1))
-    dim = spark.createDataFrame(
-        rows, "poly_pos INT, feature_id INT, country STRING, "
-              "y0 INT, y1 INT, x0 INT, x1 INT")
+    # JVM-literal dim: range over chunk ids + element_at on literal arrays,
+    # NOT createDataFrame — a parallelized python list is evaluated by the
+    # pickle-runner Python worker pool, and on a cold pool every one of
+    # these tasks serially pays the worker import chain (~3.5 s/worker
+    # measured) before the PIP kernel even starts. Range→project is pure
+    # codegen; one chunk per range partition keeps the kernel balanced.
+    def arr(i, typ):
+        return F.array(*[F.lit(r[i]) for r in rows]).getItem(
+            F.col("id").cast("int")).cast(typ)
+
+    dim = (spark.range(0, len(rows), 1, len(rows))
+           .select(arr(0, "int").alias("poly_pos"),
+                   arr(1, "int").alias("feature_id"),
+                   arr(2, "string").alias("country"),
+                   arr(3, "int").alias("y0"), arr(4, "int").alias("y1"),
+                   arr(5, "int").alias("x0"), arr(6, "int").alias("x1")))
 
     cand = (dim
             .withColumn("y", F.explode(F.sequence("y0", "y1")))

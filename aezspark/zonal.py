@@ -38,14 +38,26 @@ def seed_zeros(agg: DataFrame, countries, classes: list[str]) -> DataFrame:
     spark = agg.sparkSession
     if isinstance(countries, (list, tuple)):
         # driver-known country set (World passes the boundary-index list):
-        # the whole seeding grid is ONE literal single-partition relation —
-        # no crossJoin subtree, no broadcast-build jobs in front of the
-        # full-outer join (r7: the crossJoin of two parallelized tiny dims
-        # cost several single-task AQE stage jobs per zonal query)
-        grid_dim = (spark.createDataFrame(
-            [(c, cl) for c in countries for cl in classes],
-            "country STRING, class STRING").coalesce(1)
-            .withColumn("_expected", F.lit(True)))
+        # the whole seeding grid is ONE JVM-literal relation — spark.range
+        # + element_at over literal arrays, NOT createDataFrame, because a
+        # parallelized python list needs a Python-RDD eval task whose
+        # worker comes from the pickle-runner pool; on a cold pool that
+        # single task serially pays the whole worker import chain
+        # (measured 5.2 s on the critical path of the first zonal query —
+        # the arrow-pool warmup does not warm it). Range→project is pure
+        # codegen: no Python worker, no crossJoin subtree, one partition.
+        n_cls = len(classes)
+        country_arr = F.array(*[F.lit(c) for c in countries])
+        class_arr = F.array(*[F.lit(c) for c in classes])
+        grid_dim = (spark.range(0, len(countries) * n_cls, 1, 1)
+                    .select(
+                        F.element_at(country_arr,
+                                     (F.col("id") / n_cls).cast("int") + 1)
+                        .alias("country"),
+                        F.element_at(class_arr,
+                                     (F.col("id") % n_cls).cast("int") + 1)
+                        .alias("class"))
+                    .withColumn("_expected", F.lit(True)))
     else:
         # coalesce(1) both tiny sides: a crossJoin's output partitioning
         # multiplies its inputs' partition counts, and createDataFrame
