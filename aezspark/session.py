@@ -73,9 +73,12 @@ def get_spark(app: str = "aezspark", master: str | None = None,
     # (tiny files still pack) while letting minPartitionNum size small scans;
     # at cluster scale totalBytes/minPartitionNum >> 4 MB, so this knob is
     # inert there — it is NOT a local-only tuning, it just stops the open-cost
-    # heuristic from overriding the wave rule on small inputs.
+    # heuristic from overriding the wave rule on small inputs. 256 KB (not
+    # lower): sub-256 KB splits made the shard-lookup kernel's Arrow batches
+    # small enough that per-batch fixed work showed (flagship_docs_shard
+    # 1.09 s at 64 KB vs 0.89 s at 256 KB, other queries equal-or-better).
     b = b.config("spark.sql.files.openCostInBytes",
-                 os.environ.get("AEZSPARK_OPEN_COST_BYTES", "65536"))
+                 os.environ.get("AEZSPARK_OPEN_COST_BYTES", "262144"))
     mpb = os.environ.get("AEZSPARK_MAX_PARTITION_BYTES")
     if mpb:
         b = b.config("spark.sql.files.maxPartitionBytes", mpb)
