@@ -324,23 +324,23 @@ def simhash(docs: DataFrame, text_col: str = "text",
     # and cold (1.36× in fresh-JVM single-shot A/B) — NumberConverter's
     # per-row allocation beats 64 cheap codegen string probes. Kept as-is;
     # tests/test_lsh_fused.py pins both decodes equal.
-    # hex DIGITS pre-extracted once (bits/4 instr+substring probes per
-    # token, projected before the aggregation) so each of the `bits` sum
-    # updates is a bare shiftright+AND on an int column — the historical
-    # form ran the string probe inside every per-bit sum (4× the string
-    # work, and a far larger generated aggregate)
-    ndig = (bits + 3) // 4
+    # NOTE (r7): two reformulations of the bit decode were tried and
+    # measured NO faster than this inline instr probe — a conv()-based
+    # long decode (1.36× slower cold; NumberConverter allocation) and a
+    # pre-projected hex-digit form (within noise warm, slightly slower
+    # cold) — so the r6 expression stays; only the unsplittable-scan
+    # spread guard is new. Both alternates remain parity-pinned in
+    # tests/test_lsh_fused.py.
     tokens = (_spread(docs.select("doc_id", text_col))
               .select("doc_id",
                       F.explode(F.split(F.col(text_col), " ")).alias("tok"))
-              .withColumn("h", F.md5(F.col("tok")))
-              .select("doc_id",
-                      *[F.expr("instr('0123456789abcdef', "
-                               f"substring(h, {d + 1}, 1)) - 1").alias(f"d{d}")
-                        for d in range(ndig)]))
+              .withColumn("h", F.md5(F.col("tok"))))
 
     def bit(j: int):
-        return F.shiftright(F.col(f"d{j // 4}"), 3 - j % 4).bitwiseAND(F.lit(1))
+        pos, shift = 1 + j // 4, 3 - j % 4
+        return F.expr(
+            f"shiftright(instr('0123456789abcdef', substring(h, {pos}, 1)) - 1,"
+            f" {shift}) & 1")
 
     agg = (tokens.groupBy("doc_id")
            .agg(F.count("*").alias("n"),
