@@ -331,7 +331,12 @@ def simhash(docs: DataFrame, text_col: str = "text",
     # cold) — so the r6 expression stays; only the unsplittable-scan
     # spread guard is new. Both alternates remain parity-pinned in
     # tests/test_lsh_fused.py.
-    tokens = (_spread(docs.select("doc_id", text_col))
+    # 4 MB spread floor: below it the extra Exchange costs more than the
+    # serialized token-md5 work it parallelizes (measured at the 0.6 MB
+    # sf0.1 corpus); above it an unsplittable scan carries seconds of
+    # single-task digest work. Work-per-byte here is ~6× lower than the
+    # shingle path, hence the higher floor than char_shingles' 256 KB.
+    tokens = (_spread(docs.select("doc_id", text_col), min_bytes=4 << 20)
               .select("doc_id",
                       F.explode(F.split(F.col(text_col), " ")).alias("tok"))
               .withColumn("h", F.md5(F.col("tok"))))
